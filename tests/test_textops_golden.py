@@ -1,0 +1,44 @@
+"""Char-for-char parity of the textops core vs reference-derived fixtures.
+
+Fixtures were produced once by scripts/gen_golden_fixtures.py running the
+reference parser's pure string functions (inexus_parser.py:2295-2660) and are
+committed — the suite has no runtime dependency on /root/reference.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from address_parser_spark.textops import (
+    char_ngrams,
+    component_signature,
+    extract_street,
+    normalize_token,
+    standardize_name,
+)
+
+FIXTURES = json.loads(
+    (Path(__file__).parent / "fixtures" / "norm_golden.json").read_text(encoding="utf-8")
+)
+
+
+@pytest.mark.parametrize("row", FIXTURES["normalize"], ids=lambda r: repr(r["raw"])[:40])
+def test_standardize_parity(row):
+    assert standardize_name(row["raw"], False) == row["std_basic"]
+    assert standardize_name(row["raw"], True) == row["std_advanced"]
+    assert normalize_token(row["raw"]) == row["token_basic"]
+    assert char_ngrams(standardize_name(row["raw"], True)) == row["ngrams"]
+
+
+@pytest.mark.parametrize("row", FIXTURES["street"], ids=lambda r: repr(r["original"])[:40])
+def test_street_extraction_parity(row):
+    got = extract_street(row["original"], row["province"], row["district"], row["ward"])
+    assert got == row["street"]
+
+
+@pytest.mark.parametrize("row", FIXTURES["signatures"], ids=lambda r: repr(r["component"]))
+def test_component_signature_parity(row):
+    sequences, tokens = component_signature(row["component"])
+    assert sequences == row["sequences"]
+    assert sorted(tokens) == row["tokens"]
