@@ -1,0 +1,93 @@
+"""Pure-Column (JVM, codegen-friendly) builders — the fast path.
+
+These stay inside whole-stage codegen: no Python round-trip, no Arrow batch.
+The n-gram window builder reproduces ``textops.ngrams.char_ngrams`` (and hence
+the reference's ``generate_ngrams``) exactly, so blocking keys computed
+JVM-side agree byte-for-byte with driver-side Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A large 61-bit prime for MinHash universal hashing.
+MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
+
+
+def char_ngrams_col(col: Column, n: int = 4, distinct: bool = True) -> Column:
+    """Padded char n-gram windows of a (already normalized) string column.
+
+    Equivalent to ``char_ngrams`` in textops: pad one space each side, slide a
+    width-``n`` window. Strings whose padded form is shorter than ``n`` yield
+    an empty array (parity with the reference's ``generate_ngrams``).
+    """
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    n_windows = F.length(padded) - F.lit(n - 1)
+    grams = F.when(
+        n_windows >= 1,
+        F.transform(F.sequence(F.lit(1), n_windows), lambda i: padded.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def dice_col(intersection: Column, size_a: Column, size_b: Column) -> Column:
+    """Sørensen–Dice from precomputed counts: ``2·∩ / (|A|+|B|)``.
+
+    The blocking join's per-pair match count IS the intersection cardinality
+    (distinct grams joined against distinct postings), so the Dice gate is free
+    — no set materialization, evaluated JVM-side before any scoring UDF
+    (manual predicate staging per SURVEY §4).
+    """
+    return (F.lit(2.0) * intersection) / (size_a + size_b)
+
+
+def _hash64(col: Column) -> Column:
+    """Deterministic 64-bit hash of a string, JVM-side."""
+    return F.xxhash64(col)
+
+
+def minhash_signature_col(grams: Column, num_hashes: int = 32, seed: int = 7) -> Column:
+    """MinHash signature as ``array<bigint>`` — fully JVM-side.
+
+    ``sig[j] = min over g of pmod(a_j · xxhash64(g) + b_j, P)`` with per-j
+    parameters derived deterministically from ``seed``. A nested ``transform``
+    keeps everything in codegen: no UDF, no shuffle, no MLlib dependency
+    (hand-rolled per SURVEY §1.4 for determinism).
+    """
+    import random
+
+    rng = random.Random(seed)
+    params = [(rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME)) for _ in range(num_hashes)]
+    param_col = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params])
+    return F.transform(
+        param_col,
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(grams, lambda g: F.pmod(p["a"] * _hash64(g) + p["b"], F.lit(MINHASH_PRIME)))
+            ),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+
+
+def lsh_band_keys_col(signature: Column, bands: int = 8, rows: int = 4) -> Column:
+    """Band keys ``array<string>`` for LSH bucketing: hash of each ``rows``-
+    slice of the signature, prefixed with the band index so buckets from
+    different bands never collide."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            "#", b.cast("string"),
+            F.xxhash64(F.concat_ws(",", F.slice(signature, b * rows + 1, rows))).cast("string"),
+        ),
+    )
+
+
+def sorted_token_key_col(std: Column) -> Column:
+    """Sorted-token blocking key: distinct whitespace tokens, sorted, joined.
+
+    The cheap exact-ish blocking key (north_star): two differently-ordered
+    renderings of the same address land in the same block.
+    """
+    return F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(std, " "))))
