@@ -11,8 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# A large 61-bit prime for MinHash universal hashing.
-MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
+# Mersenne prime 2^31-1 for MinHash universal hashing: with a,b,h < 2^31 the
+# product a·h+b stays below 2^63, so the expression is safe under ANSI-mode
+# bigint arithmetic (no overflow, no try_* fallbacks).
+MINHASH_PRIME = 2147483647
 
 
 def char_ngrams_col(col: Column, n: int = 4, distinct: bool = True) -> Column:
@@ -64,7 +66,13 @@ def minhash_signature_col(grams: Column, num_hashes: int = 32, seed: int = 7) ->
         param_col,
         lambda p: F.coalesce(
             F.array_min(
-                F.transform(grams, lambda g: F.pmod(p["a"] * _hash64(g) + p["b"], F.lit(MINHASH_PRIME)))
+                F.transform(
+                    grams,
+                    lambda g: F.pmod(
+                        p["a"] * F.pmod(_hash64(g), F.lit(MINHASH_PRIME)) + p["b"],
+                        F.lit(MINHASH_PRIME),
+                    ),
+                )
             ),
             F.lit(MINHASH_PRIME),
         ),

@@ -60,10 +60,11 @@ def make_detect_udf(registries: dict[str, list[str]]):
     fragments, and the exact-registry hit short-circuits the fuzzy scan
     (reference ``_pick_best`` fast path, inexus_parser.py:2715-2717).
     """
-    from address_parser_spark.textops.detect import detect_by_prefix
+    from address_parser_spark.textops.detect import AliasRegistry, detect_by_prefix
 
-    p_list, d_list, w_list = registries["province"], registries["district"], registries["ward"]
-    p_set, d_set, w_set = frozenset(p_list), frozenset(d_list), frozenset(w_list)
+    reg_p = AliasRegistry(registries["province"])
+    reg_d = AliasRegistry(registries["district"])
+    reg_w = AliasRegistry(registries["ward"])
 
     @pandas_udf(_DETECT_SCHEMA)
     def detect_udf(std_basic: pd.Series) -> pd.DataFrame:
@@ -74,7 +75,7 @@ def make_detect_udf(registries: dict[str, list[str]]):
                 return (None, None, None)
             hit = cache.get(s)
             if hit is None:
-                hit = detect_by_prefix(s, p_list, d_list, w_list, p_set, d_set, w_set)
+                hit = detect_by_prefix(s, reg_p, reg_d, reg_w)
                 cache[s] = hit
             return hit
 
@@ -115,17 +116,25 @@ def _component_boost(cand_std, detected, exact_bonus, fuzzy_bonus, missing_penal
 
 def _combined_score(inp: str, cand: str, use_partial_flag: bool) -> tuple[float, float, float, float]:
     """Reference blend: max of ratio/WRatio, partial under the length rule,
-    then floor at 0.6·ratio + 0.4·WRatio (inexus_parser.py:2886-2901)."""
+    then floor at 0.6·ratio + 0.4·WRatio (inexus_parser.py:2886-2901).
+
+    ``partial_ratio`` (the expensive sliding-window scorer) is evaluated
+    lazily — only when the length rule or the low-base fallback can actually
+    use it. Same outputs, a fraction of the work on the common path.
+    """
     base = indel_ratio(inp, cand)
-    part = partial_ratio(inp, cand)
     wr = wratio(inp, cand)
     length_ratio = max(len(inp), 1) / max(len(cand), 1)
     use_partial = use_partial_flag or length_ratio >= 1.25
     combined = max(base, wr)
+    part = -1.0
     if use_partial:
+        part = partial_ratio(inp, cand)
         combined = max(combined, part)
-    elif base < 80 and part >= 90:
-        combined = max(combined, part * 0.95)
+    elif base < 80:
+        part = partial_ratio(inp, cand)
+        if part >= 90:
+            combined = max(combined, part * 0.95)
     combined = max(combined, 0.6 * base + 0.4 * wr)
     return base, part, wr, combined
 
@@ -136,19 +145,29 @@ def candidate_score_udf(
     det_p: pd.Series, det_d: pd.Series, det_w: pd.Series,
     node_p: pd.Series, node_d: pd.Series, node_w: pd.Series,
 ) -> pd.DataFrame:
+    score_memo: dict[tuple, tuple] = {}
+    boost_memo: dict[tuple, float] = {}
     rows = []
     for i, c, f, dp, dd, dw, np_, nd, nw in zip(
         inp, cand, use_partial, det_p, det_d, det_w, node_p, node_d, node_w
     ):
-        base, part, wr, combined = _combined_score(
-            i if isinstance(i, str) else "", c if isinstance(c, str) else "", bool(f)
-        )
-        boost = (
-            _component_boost(nw, dw, 18.0, 12.0, -12.0)
-            + _component_boost(nd, dd, 14.0, 9.0, -10.0)
-            + _component_boost(np_, dp, 6.0, 3.5, -4.0)
-        )
-        rows.append((base, part, wr, combined, boost))
+        skey = (i, c, bool(f))
+        scores = score_memo.get(skey)
+        if scores is None:
+            scores = _combined_score(
+                i if isinstance(i, str) else "", c if isinstance(c, str) else "", bool(f)
+            )
+            score_memo[skey] = scores
+        bkey = (dp, dd, dw, np_, nd, nw)
+        boost = boost_memo.get(bkey)
+        if boost is None:
+            boost = (
+                _component_boost(nw, dw, 18.0, 12.0, -12.0)
+                + _component_boost(nd, dd, 14.0, 9.0, -10.0)
+                + _component_boost(np_, dp, 6.0, 3.5, -4.0)
+            )
+            boost_memo[bkey] = boost
+        rows.append(scores + (boost,))
     return pd.DataFrame(rows, columns=["base", "partial", "wratio", "combined", "boost"])
 
 

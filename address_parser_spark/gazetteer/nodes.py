@@ -198,13 +198,26 @@ def alias_registries(gaz: Gazetteer) -> dict[str, list[str]]:
     }
 
 
-def ngram_index(nodes: Iterable[dict]) -> list[tuple[str, int, int]]:
-    """Inverted postings ``(ngram, node_id, node_gram_count)`` — the blocking
-    join's small side. ``node_gram_count`` rides along so the Dice denominator
-    needs no second join."""
-    postings: list[tuple[str, int, int]] = []
+INDEX_SCHEMA = "g string, node_id long, n_primary int, is_primary boolean"
+
+
+def ngram_index(nodes: Iterable[dict]) -> list[tuple[str, int, int, bool]]:
+    """Inverted postings ``(ngram, node_id, n_primary, is_primary)``.
+
+    Postings span the full alias-union gram set (recall: any typed/spoken
+    variant can retrieve the node), but each posting is flagged whether the
+    gram belongs to the node's PRIMARY form (``std_name``). The Dice gate is
+    computed over primary grams only — alias unions (esp. digit wards with
+    ``phuong X / p X / ward X / w X`` forms) would otherwise dilute the
+    denominator and gate out exact matches. ``n_primary`` rides along so the
+    gate needs no second join.
+    """
+    from address_parser_spark.textops.ngrams import char_ngram_set
+
+    postings: list[tuple[str, int, int, bool]] = []
     for n in nodes:
-        size = len(n["ngrams"])
+        primary = char_ngram_set(n["std_name"])
+        n_primary = len(primary)
         for g in n["ngrams"]:
-            postings.append((g, n["node_id"], size))
+            postings.append((g, n["node_id"], n_primary, g in primary))
     return postings

@@ -172,11 +172,22 @@ def synth_gazetteer(
         ]
         # Group consecutive old wards 2-at-a-time into one new ward; the first
         # old ward's name survives (mirrors the real merger's renaming shape).
+        # New-ward names are made UNIQUE within their new province — as in the
+        # real post-merger catalog, where duplicate names were renamed; without
+        # this, two byte-identical mentions could denote different entities and
+        # no string-based system (reference included) could separate them.
+        used_new_names: set[str] = set()
         for j in range(0, len(member_wards), 2):
             group = member_wards[j : j + 2]
             new_ward_seq += 1
             nw_code = f"{new_ward_seq:05d}"
-            nw_name = group[0]["name"]
+            nw_name = next(
+                (w["name"] for w in group if w["name"] not in used_new_names),
+                None,
+            )
+            if nw_name is None:
+                nw_name = fresh_name(used_names)
+            used_new_names.add(nw_name)
             nw_is_ward = group[0]["administrative_unit_id"] == _UNIT_WARD
             gaz.new_wards.append(
                 _record(nw_code, nw_name, "Phường" if nw_is_ward else "Xã",

@@ -1,0 +1,134 @@
+"""Connected components via alternating large-star / small-star self-joins.
+
+The reference resolves each mention independently; clusters are implicit
+("two mentions match iff they resolve to the same canonical node", SURVEY
+§2.3 J7). At web scale the north_rule requires the explicit formulation:
+edges between matched mentions, resolved into components by the
+large-star/small-star algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC'14) — a public algorithm, O(log² n) rounds,
+expressed here purely as DataFrame self-joins + hash aggregations.
+
+Each round is checkpointed (``localCheckpoint`` by default, or a parquet
+round-trip via the provided ``checkpoint_fn``) to truncate lineage — without
+it the plan doubles every iteration and Catalyst analysis dominates runtime.
+Convergence is detected by comparing an order-insensitive fingerprint
+(count + sum of per-edge hashes), one cheap agg per round instead of a full
+``exceptAll``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_ITERATIONS = 30
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, canonical orientation (big, small), no loops."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    bi = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = bi.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        bi.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect all smaller-or-equal neighbors of u to the minimum one."""
+    oriented = _canon(edges)
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    neighbors = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selfs = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return neighbors.unionAll(selfs)
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_fn: Optional[Callable[[DataFrame, int], DataFrame]] = None,
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """edges(src long, dst long) → assignments(id long, component long).
+
+    ``component`` is the minimum member id of each component. Vertices only
+    present as isolated nodes must be unioned in by the caller (an edge list
+    cannot see them).
+
+    ``checkpoint_fn(df, iteration)`` lets the pipeline swap in durable
+    parquet/Iceberg checkpoints for resumability (sources.lineage); default is
+    ``localCheckpoint`` (truncates lineage in-memory).
+    """
+    def checkpoint(df: DataFrame, it: int) -> DataFrame:
+        if checkpoint_fn is not None:
+            return checkpoint_fn(df, it)
+        return df.localCheckpoint(eager=True)
+
+    current = checkpoint(_canon(edges), -1)
+    prev_fp = _fingerprint(current)
+    for it in range(max_iterations):
+        stepped = _small_star(_large_star(current))
+        current = checkpoint(_canon(stepped), it)
+        fp = _fingerprint(current)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # Converged state: every edge points directly at its component minimum.
+    members = current.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = current.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
+    return members.unionAll(roots).groupBy("id").agg(F.min("component").alias("component"))
+
+
+def cluster_mentions(
+    resolved: DataFrame,
+    extra_edges: Optional[DataFrame] = None,
+    checkpoint_fn: Optional[Callable[[DataFrame, int], DataFrame]] = None,
+) -> DataFrame:
+    """Mention clustering with entity-anchor edges (+ optional pair edges).
+
+    Same-entity mentions are connected through a virtual anchor vertex
+    ``xxhash64(entity_key)`` — a star, not a clique: n-1 edges per entity
+    instead of n(n-1)/2, which is what keeps hot entities ("ha noi") from
+    exploding the edge list at web scale. ``extra_edges`` (e.g. high-confidence
+    string-similarity pairs from the pair stage) are unioned in.
+
+    Returns (mid, url, mention, entity_key, cluster_id) where cluster_id is
+    stable (min vertex id in the component).
+    """
+    anchors = resolved.select(
+        F.col("mid").alias("src"),
+        F.xxhash64("entity_key").alias("dst"),
+    )
+    edges = anchors if extra_edges is None else anchors.unionAll(extra_edges)
+    assignments = connected_components(edges, checkpoint_fn=checkpoint_fn)
+    return (
+        resolved.join(assignments, resolved["mid"] == assignments["id"], "left")
+        .drop("id")
+        .withColumn("cluster_id", F.coalesce("component", F.col("mid")))
+        .drop("component")
+    )

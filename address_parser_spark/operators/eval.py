@@ -1,0 +1,63 @@
+"""Pairwise-F1 evaluation of entity clusters against gold labels.
+
+The BASELINE.json gate: over labeled mention pairs *at a shared blocking key*,
+label = "same gold entity" (generator ground truth == reference semantics:
+two mentions match iff they resolve to the same canonical (province, district,
+ward) triple, SURVEY §2.3 J7); prediction = "same cluster_id". F1 = 2PR/(P+R).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def gold_entity_col() -> F.Column:
+    return F.concat_ws(
+        "|",
+        F.coalesce("province_code", F.lit("")),
+        F.coalesce("district_code", F.lit("")),
+        F.coalesce("ward_code", F.lit("")),
+        F.col("is_new").cast("string"),
+    )
+
+
+def labeled_pairs(keyed_with_labels: DataFrame, max_block: int = 1 << 20) -> DataFrame:
+    """All mention pairs sharing ≥1 blocking key, labeled and predicted.
+
+    Input columns: mid, keys (array), gold_entity, cluster_id.
+    Output: mid_a, mid_b, is_match (gold), same_cluster (predicted).
+    """
+    e = keyed_with_labels.select(
+        "mid", F.explode("keys").alias("key"), "gold_entity", "cluster_id"
+    ).distinct()
+    sizes = e.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    e = e.join(sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_block)).select("key"), "key")
+
+    a = e.select("key", F.col("mid").alias("mid_a"), F.col("gold_entity").alias("g_a"), F.col("cluster_id").alias("c_a"))
+    b = e.select("key", F.col("mid").alias("mid_b"), F.col("gold_entity").alias("g_b"), F.col("cluster_id").alias("c_b"))
+    return (
+        a.join(b, "key")
+        .filter(F.col("mid_a") < F.col("mid_b"))
+        .groupBy("mid_a", "mid_b")
+        .agg(
+            F.first((F.col("g_a") == F.col("g_b"))).alias("is_match"),
+            F.first((F.col("c_a") == F.col("c_b"))).alias("same_cluster"),
+        )
+    )
+
+
+def pairwise_f1(pairs: DataFrame) -> dict[str, float]:
+    row = pairs.select(
+        F.sum((F.col("is_match") & F.col("same_cluster")).cast("long")).alias("tp"),
+        F.sum((~F.col("is_match") & F.col("same_cluster")).cast("long")).alias("fp"),
+        F.sum((F.col("is_match") & ~F.col("same_cluster")).cast("long")).alias("fn"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "n_pairs": int(row["n"]),
+        "precision": precision, "recall": recall, "f1": f1,
+    }

@@ -46,6 +46,7 @@ from address_parser_spark.functions.udfs import (
 
 DICE_GATE = 0.4
 TOPK_CANDIDATES = 400
+SCORE_CANDIDATES = 120  # reference's max_candidates slice (inexus_parser.py:2878)
 PARTIAL_MASS_TOP_N = 5
 PARTIAL_MASS_THRESHOLD = 12
 
@@ -87,7 +88,11 @@ def block_candidates(mentions: DataFrame, index_df: DataFrame) -> DataFrame:
     return (
         probe.join(F.broadcast(index_df), "g")
         .groupBy("mid", "node_id")
-        .agg(F.count(F.lit(1)).alias("inter"), F.first("node_size").alias("node_size"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.sum(F.col("is_primary").cast("long")).alias("inter_primary"),
+            F.first("n_primary").alias("n_primary"),
+        )
     )
 
 
@@ -116,7 +121,7 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame)
     gated = (
         cands
         .join(mention_attrs, "mid")
-        .withColumn("dice", dice_col(F.col("inter"), F.col("n_in"), F.col("node_size")))
+        .withColumn("dice", dice_col(F.col("inter_primary"), F.col("n_in"), F.col("n_primary")))
         .filter(F.col("dice") >= DICE_GATE)
         .withColumn(
             "rk",
@@ -124,7 +129,7 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame)
                 Window.partitionBy("mid").orderBy(F.desc("inter"), F.asc("node_id"))
             ),
         )
-        .filter(F.col("rk") <= TOPK_CANDIDATES)
+        .filter(F.col("rk") <= SCORE_CANDIDATES)
         .join(flags, "mid", "left")
     )
 
@@ -216,9 +221,22 @@ def resolve_mentions(
     nodes_df: DataFrame,
     index_df: DataFrame,
     registries: dict[str, list[str]] | None = None,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
-    """Full extract → block → gate → score → argmax → street pipeline."""
+    """Full extract → block → gate → score → argmax → street pipeline.
+
+    ``mentions`` feeds both the blocking probe and the attribute join, and
+    ``cands`` feeds both the partial-flag agg and the gate — without explicit
+    persistence Catalyst re-executes the extraction/detection UDF stage and
+    the blocking join once per consumer (plan-level common subexpressions are
+    not shared across branches). On a cluster these two persists are
+    MEMORY_AND_DISK buffers of mention-sized (not corpus-sized) data.
+    """
     mentions = extract_normalize(pages, registries)
+    if persist_intermediates:
+        mentions = mentions.persist()
     cands = block_candidates(mentions, index_df)
+    if persist_intermediates:
+        cands = cands.persist()
     scored = score_candidates(cands, mentions, nodes_df)
     return attach_street(pick_winners(scored))

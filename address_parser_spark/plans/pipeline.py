@@ -1,0 +1,79 @@
+"""The five-stage entity-resolution pipeline (SURVEY §7), resumable.
+
+pages → (1) extract+normalize → (2) resolve vs gazetteer (block/gate/score/
+argmax) → (3) blocking keys + candidate pairs + scoring → (4) edges →
+(5) connected components → clusters.
+
+Run standalone:
+    spark-submit --py-files address_parser_spark.zip jobs/run_pipeline.py
+
+Each stage optionally lands in a ``StageStore`` snapshot (parquet locally,
+Iceberg table on a real cluster) with lineage records; a rerun resumes from
+the last committed stage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from address_parser_spark.gazetteer.nodes import (
+    INDEX_SCHEMA,
+    alias_registries,
+    build_nodes,
+    ngram_index,
+    nodes_to_spark,
+)
+from address_parser_spark.gazetteer.synth import Gazetteer
+from address_parser_spark.operators.cluster import cluster_mentions, connected_components
+from address_parser_spark.operators.pairs import (
+    candidate_pairs,
+    match_edges,
+    score_pairs,
+    with_blocking_keys,
+)
+from address_parser_spark.operators.parse import resolve_mentions
+from address_parser_spark.sources.lineage import StageStore
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    gaz: Gazetteer,
+    store: Optional[StageStore] = None,
+    max_block: int = 64,
+) -> DataFrame:
+    """pages → clustered mentions (mid, url, mention, std, parsed components,
+    street_address, format, entity_key, cluster_id)."""
+    nodes = build_nodes(gaz)
+    nodes_df = nodes_to_spark(spark, nodes)
+    index_df = spark.createDataFrame(ngram_index(nodes), INDEX_SCHEMA)
+    registries = alias_registries(gaz)
+
+    def stage(name: str, build, partition_by=None) -> DataFrame:
+        """Materialize each stage exactly once: durable snapshot when a store
+        is attached, else in-memory persist — ``resolved`` feeds three
+        downstream branches (keys, anchors, final join) and must not be
+        recomputed per branch."""
+        if store is None:
+            df = build().persist()
+            df.count()  # eager: one computation, shared by every consumer
+            return df
+        return store.run_stage(name, build, partition_by=partition_by)
+
+    resolved = stage("resolved", lambda: resolve_mentions(pages, nodes_df, index_df, registries))
+    keyed = stage("keyed", lambda: with_blocking_keys(resolved))
+    edges = stage(
+        "edges",
+        lambda: match_edges(score_pairs(candidate_pairs(keyed, max_block=max_block))),
+    )
+
+    def build_clusters() -> DataFrame:
+        checkpoint_fn = None
+        if store is not None:
+            checkpoint_fn = lambda df, it: store.write(df, f"cc_iter_{it + 1:03d}")
+        return cluster_mentions(resolved, extra_edges=edges, checkpoint_fn=checkpoint_fn)
+
+    clustered = stage("clustered", build_clusters)
+    return clustered
