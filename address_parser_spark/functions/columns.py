@@ -99,3 +99,17 @@ def sorted_token_key_col(std: Column) -> Column:
     renderings of the same address land in the same block.
     """
     return F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(std, " "))))
+
+
+def canonical_tokens_col(std: Column) -> Column:
+    """Entity-canonical token array: distinct tokens of the normalized string
+    minus generic unit/location filler (``phuong``, ``huyen``, ``xa``, … —
+    the reference's _GENERIC_LOCATION_TOKENS; accentless type words survive
+    ``standardize_name`` and would otherwise split blocks), sorted. Falls back
+    to the full token set when filtering would empty it."""
+    from address_parser_spark.textops.street import GENERIC_LOCATION_TOKENS
+
+    generic = F.array(*[F.lit(t) for t in sorted(GENERIC_LOCATION_TOKENS)])
+    toks = F.array_sort(F.array_distinct(F.split(std, " ")))
+    filtered = F.array_except(toks, generic)
+    return F.when(F.size(filtered) >= 1, filtered).otherwise(toks)

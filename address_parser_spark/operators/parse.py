@@ -195,12 +195,33 @@ def pick_winners(scored: DataFrame) -> DataFrame:
 
 
 def attach_street(winners: DataFrame) -> DataFrame:
-    """Row-local street extraction + format tag + entity key (steps 7-8)."""
+    """Row-local street extraction + format tag + entity key (steps 7-8).
+
+    ``entity_std`` is the normalized mention with the street tokens removed —
+    the entity-bearing portion. Blocking keys and pair scoring downstream run
+    on it (two mentions of the same ward with different street addresses must
+    land in the same block); computed as a JVM array_except, no extra UDF pass
+    beyond normalizing the extracted street.
+    """
     return (
         winners
         .withColumn(
             "street_address",
             street_extract_udf(F.col("mention"), F.col("province"), F.col("district"), F.col("ward")),
+        )
+        .withColumn(
+            "entity_std",
+            F.concat_ws(
+                " ",
+                F.array_except(
+                    F.split(F.col("std"), " "),
+                    F.split(normalize_advanced_udf(F.col("street_address")), " "),
+                ),
+            ),
+        )
+        .withColumn(
+            "entity_std",
+            F.when(F.length("entity_std") >= 2, F.col("entity_std")).otherwise(F.col("std")),
         )
         .withColumn("format", F.when(F.col("is_new"), F.lit("new")).otherwise(F.lit("old")))
         .withColumn(
