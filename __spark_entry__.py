@@ -1,38 +1,615 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship dedup-clustering dataflow on the sf0.001 tables;
+``queries``/``oracle_sql`` expose one entry per implemented operator family
+(SURVEY.md §2 + the training-data operators) with exactly-mirroring DuckDB
+SQL. Hash-bearing operators use md5-derived integers so both engines agree
+bit-for-bit; float outputs are rounded in BOTH engines before comparison.
+
+Non-SQL-expressible entries (the Vietnamese ER pipeline itself — its
+normalization is an ordered replacement cascade no SQL dialect reproduces)
+have no oracle and rely on the driver's rows-only check plus the pytest F1
+gate (tests/test_pipeline_e2e.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (SURVEY §2.3/§2.4/§2.5/§2.6 mapped onto the TPC-H-ish
+# tables; every one stays in whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 hash aggregation with map-side partials (TPC-H Q1 shape)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 argmax-per-group: top-3 orders by price per customer, deterministic
+    tiebreak on orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rank")
+    )
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 parent-code hierarchy assembly via two broadcast joins (the
+    gazetteer ward→district→province shape on region→nation→customer)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that placed at least one urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (unmatched-mentions
+    diagnostic shape, SURVEY §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+def q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 unionByName + dedup-by-signature (A6): two overlapping order slices."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b).distinct()
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (running sum) per customer over order date."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+def q_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 global top-K with deterministic tiebreak (TakeOrderedAndProject)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped event-time operators (batch equivalents of the Structured
+# Streaming ops; the streaming module reuses the same column logic)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits sessions per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; session tz is pinned to UTC so the
+    # cast is instant-preserving.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    with_flag = _t(spark, sf_dir, "events").withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    with_sid = with_flag.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("ended_at"),
+    )
+
+
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-signature with deterministic representative (A6 / streaming
+    dropDuplicates-within-watermark batch analog)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.textquality import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.textquality import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.textquality import detect_language
+
+    return detect_language(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.textquality import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.dedup import simhash32
+
+    return simhash32(_t(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.12)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.similarity_search import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from address_parser_spark.operators.similarity_search import ann_lsh_topk
+
+    return ann_lsh_topk(_t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=3, bucket_dims=4)
+
+
+def q_er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking on generic text: sorted-token prefix key → block sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    key = F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(toks)), 1, 2))
+    return (
+        docs.select(key.alias("block_key"))
+        .groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("block_n"))
+        .filter(F.col("block_n") >= 2)
+    )
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star CC over Jaccard near-dup edges — oracle-checked
+    against a recursive-CTE min-label propagation in DuckDB."""
+    from address_parser_spark.operators.cluster import connected_components
+    from address_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    edges = (
+        ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.10)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component")
+    )
+
+
+def q_er_resolve_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Vietnamese ER pipeline itself (no SQL oracle — normalization is an
+    ordered replacement cascade; correctness gated by pytest F1 ≥ 0.99)."""
+    from address_parser_spark.gazetteer import synth_gazetteer
+    from address_parser_spark.plans.pipeline import run_pipeline
+    from address_parser_spark.sources.pages import synth_pages_spark
+
+    gaz = synth_gazetteer()
+    pages = synth_pages_spark(spark, gaz, 120, partitions=8)
+    clustered = run_pipeline(spark, pages, gaz)
+    return clustered.select(
+        "url", "mention", "std", "province", "district", "ward",
+        "street_address", "format", "entity_key", "cluster_id",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dedup-clustering dataflow over the sf0.001 documents —
+    blocking shingles → Jaccard pair scoring → connected components →
+    per-document cluster + quality + language columns."""
+    from address_parser_spark.operators.cluster import connected_components
+    from address_parser_spark.operators.dedup import ngram_jaccard_pairs
+    from address_parser_spark.operators.textquality import detect_language, quality_scores
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    edges = ngram_jaccard_pairs(docs, threshold=0.10).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    assignments = connected_components(edges)
+    q = quality_scores(docs)
+    lang = detect_language(docs)
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(assignments.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col("doc_id"))).drop("component")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_segments": q_union_segments,
+        "running_total": q_running_total,
+        "top_events": q_top_events,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_dedup": q_events_dedup,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "er_blocking_stats": q_er_blocking_stats,
+        "connected_components": q_connected_components,
+        "er_resolve_pages": q_er_resolve_pages,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_H60 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+_SHINGLES = f"""
+    CASE WHEN len(toks) >= 3 THEN
+        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> array_to_string(toks[i:i+2], ' ')))
+    ELSE [array_to_string(toks, ' ')] END
+"""
+
+_LANG_VALUES = """
+    (VALUES ('de', ['der','die','und','das','ist']),
+            ('en', ['the','a','of','and','to']),
+            ('es', ['el','la','de','que','y']),
+            ('fr', ['le','la','et','les','des']),
+            ('vi', ['cua','va','la','nhung','mot'])) AS L(lang, words)
+"""
+
+_MINHASH_PARAMS_SQL = ", ".join(
+    f"({j}, {a}, {b})"
+    for j, (a, b) in enumerate(
+        __import__("address_parser_spark.operators.dedup", fromlist=["MINHASH_PARAMS"]).MINHASH_PARAMS
+    )
+)
+
+# CTE list + final select kept separate so the connected-components oracle can
+# splice them into its own WITH RECURSIVE clause (CTEs cannot nest).
+_JACCARD_CTES = f"""
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+hashed AS (SELECT doc_id, {_H60.format(x='s')} AS shh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM hashed a JOIN hashed b ON a.shh = b.shh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT doc_a, doc_b, inter,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+_JACCARD_PAIRS_SQL = (
+    "WITH " + _JACCARD_CTES +
+    " SELECT doc_a, doc_b, inter, jaccard FROM jpairs WHERE jaccard >= {threshold}"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rank
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                  FROM orders)
+            WHERE rank <= 3
+        """,
+        "hierarchy_rollup": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "union_segments": """
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+            UNION
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey
+                                                 ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders
+        """,
+        "top_events": """
+            SELECT event_id, user_id, event_type, round(value, 2) AS value
+            FROM events ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                                 OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), with_sid AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS started_at, max(ts) AS ended_at
+            FROM with_sid GROUP BY user_id, session_idx
+        """,
+        "events_dedup": """
+            SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+                   min(event_id) AS first_event_id, count(*) AS n_dups
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "token_stats": f"""
+            SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+                   length(text) AS n_chars,
+                   round(length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1), 4)
+                       AS mean_token_len
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        """,
+        "quality": f"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS alpha_ratio,
+                   len(list_filter(list_distinct(toks),
+                                   t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                       AS stopword_hits,
+                   round(1.0 - len(list_distinct(toks)) / greatest(len(toks), 1), 4)
+                       AS repetition_ratio,
+                   (round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          / greatest(length(text), 1), 4) >= 0.5
+                    AND len(toks) >= 10
+                    AND round(1.0 - len(list_distinct(toks)) / greatest(len(toks), 1), 4) <= 0.95)
+                       AS passes_quality
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        """,
+        "langid": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            hits AS (
+                SELECT doc_id, L.lang,
+                       len(list_filter(toks, t -> list_contains(L.words, t))) AS hits
+                FROM tok, {_LANG_VALUES}
+            ), ranked AS (
+                SELECT doc_id, lang, hits,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+                FROM hits
+            )
+            SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+                   hits AS lang_hits
+            FROM ranked WHERE rn = 1
+        """,
+        "fingerprints": f"""
+            WITH norm AS (
+                SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS n FROM documents
+            ), tok AS (
+                SELECT doc_id, n, list_filter(string_split_regex(n, '\\s+'), t -> t <> '') AS toks
+                FROM norm
+            ), sh AS (SELECT doc_id, n, {_SHINGLES} AS shingles FROM tok)
+            SELECT doc_id, md5(n) AS content_md5,
+                   list_min(list_transform(shingles, s -> {_H60.format(x='s')})) AS min_shingle_hash,
+                   len(list_distinct(shingles)) AS n_shingles
+            FROM sh
+        """,
+        "dedup_exact": """
+            WITH h AS (SELECT doc_id, md5(lower(text)) AS content_md5 FROM documents),
+            g AS (SELECT content_md5, count(*) AS dup_count, min(doc_id) AS canonical
+                  FROM h GROUP BY content_md5)
+            SELECT doc_id, h.content_md5, dup_count, (doc_id = canonical) AS is_canonical
+            FROM h JOIN g ON h.content_md5 = g.content_md5
+        """,
+        "minhash_signatures": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+            hashed AS (SELECT doc_id,
+                              list_transform(shingles, s -> {_H60.format(x='s')}) AS hs
+                       FROM sh)
+            SELECT doc_id, P.h_idx,
+                   coalesce(list_min(list_transform(hs,
+                       h -> (P.a * (h % 2147483647) + P.b) % 2147483647)), 2147483647) AS minhash
+            FROM hashed, (VALUES {_MINHASH_PARAMS_SQL}) AS P(h_idx, a, b)
+        """,
+        "simhash": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM tok),
+            bits AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, generate_series(0, 31) AS t(b)
+                GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "jaccard_pairs": _JACCARD_PAIRS_SQL.format(threshold=0.12),
+        "cosine_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qv, e.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4)
+                           AS cosine
+                FROM q JOIN e ON e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                       concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qv, e.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 4)
+                           AS cosine
+                FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        "er_blocking_stats": f"""
+            SELECT array_to_string(list_sort(list_distinct(toks))[1:2], ' ') AS block_key,
+                   count(*) AS block_n
+            FROM (SELECT {_TOKS} AS toks FROM documents)
+            GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            pairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.10),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, comp) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id
+        """,
+    }

@@ -52,22 +52,43 @@ _DETECT_SCHEMA = T.StructType(
 )
 
 
-def make_detect_udf(registries: dict[str, list[str]]):
+_REGISTRY_CACHE: dict[int, tuple] = {}
+
+
+def make_detect_udf(registries: dict[str, list[str]], spark=None):
     """Prefix-detection UDF bound to the gazetteer alias registries.
 
-    The registries are dimension-sized (≤ tens of thousands of short strings)
-    and ship in the task closure; per-batch memoization collapses repeated
-    fragments, and the exact-registry hit short-circuits the fuzzy scan
+    The registries are dimension-sized (≤ tens of thousands of short strings).
+    When a SparkSession is provided they ship as a BROADCAST — deserialized
+    once per executor process instead of once per task closure (task-binary
+    deserialization of a multi-MB registry dominated small-job wall time).
+    The derived ``AliasRegistry`` prefilter indexes are built lazily worker-
+    side and cached per process. Per-batch memoization collapses repeated
+    fragments; the exact-registry hit short-circuits the fuzzy scan
     (reference ``_pick_best`` fast path, inexus_parser.py:2715-2717).
     """
     from address_parser_spark.textops.detect import AliasRegistry, detect_by_prefix
 
-    reg_p = AliasRegistry(registries["province"])
-    reg_d = AliasRegistry(registries["district"])
-    reg_w = AliasRegistry(registries["ward"])
+    bc = spark.sparkContext.broadcast(registries) if spark is not None else None
+    local = registries if bc is None else None
+
+    def _get_regs():
+        raw = bc.value if bc is not None else local
+        key = id(raw)
+        hit = _REGISTRY_CACHE.get(key)
+        if hit is None:
+            hit = (
+                AliasRegistry(raw["province"]),
+                AliasRegistry(raw["district"]),
+                AliasRegistry(raw["ward"]),
+            )
+            _REGISTRY_CACHE.clear()
+            _REGISTRY_CACHE[key] = hit
+        return hit
 
     @pandas_udf(_DETECT_SCHEMA)
     def detect_udf(std_basic: pd.Series) -> pd.DataFrame:
+        reg_p, reg_d, reg_w = _get_regs()
         cache: dict[str, tuple] = {}
 
         def run(s):

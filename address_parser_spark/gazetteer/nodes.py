@@ -201,6 +201,38 @@ def alias_registries(gaz: Gazetteer) -> dict[str, list[str]]:
 INDEX_SCHEMA = "g string, node_id long, n_primary int, is_primary boolean"
 
 
+def ngram_index_df(nodes_df: DataFrame) -> DataFrame:
+    """Inverted postings derived IN SPARK from the nodes DataFrame.
+
+    Same contract as ``ngram_index`` (alias-union postings flagged by
+    primary-form membership) but built with JVM columns — shipping a
+    driver-materialized posting list through ``createDataFrame`` costs tens of
+    seconds per job at 32 slices; deriving it from the (tiny) nodes frame is
+    free and broadcast-joins identically. The JVM n-gram builder
+    (``functions.columns.char_ngrams_col``) is byte-compatible with
+    ``textops.char_ngrams``.
+    """
+    from pyspark.sql import functions as F
+
+    from address_parser_spark.functions.columns import char_ngrams_col
+
+    primary = char_ngrams_col(F.col("std_name"))
+    return (
+        nodes_df
+        .withColumn("primary_grams", primary)
+        .select(
+            "node_id",
+            F.size("primary_grams").alias("n_primary"),
+            "primary_grams",
+            F.explode("ngrams").alias("g"),
+        )
+        .select(
+            "g", "node_id", "n_primary",
+            F.array_contains("primary_grams", F.col("g")).alias("is_primary"),
+        )
+    )
+
+
 def ngram_index(nodes: Iterable[dict]) -> list[tuple[str, int, int, bool]]:
     """Inverted postings ``(ngram, node_id, n_primary, is_primary)``.
 

@@ -1,0 +1,176 @@
+"""Deduplication operators for web-scale training corpora (documents table).
+
+Five families (task brief): exact (hash groupBy), MinHash+LSH banding,
+SimHash, word-n-gram Jaccard, embedding-cosine near-dup. Everything is pure
+Column logic / relational algebra — no Python on the data path — so each
+operator both stays in whole-stage codegen and has an exact DuckDB oracle.
+
+Scale shape notes (the part that matters at 100 TB):
+- exact dedup: one hash agg on a 16-byte digest — shuffle width is (digest,
+  doc_id), partial-agg'd map-side.
+- MinHash banding: signatures are computed scan-side (no shuffle); the only
+  shuffle is the band-key groupBy whose fan-out is bounded by band count;
+  oversized buckets get capped exactly like pairs.candidate_pairs.
+- Jaccard pairs: shingle explode → equi-join on shingle hash → per-pair
+  intersection counts (the same distinct-gram trick as the blocking join;
+  union size = |A|+|B|−∩ needs no second pass).
+- cosine near-dup: brute force is O(n²) — only for gold/test scale; the
+  LSH-bucketed variant in similarity_search bounds candidates per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from address_parser_spark.operators.textquality import _md5_60, tokens_col
+
+MINHASH_P = 2147483647  # Mersenne 2^31-1: a·h+b < 2^63 under ANSI arithmetic
+
+# Deterministic (a, b) parameter table shared with the SQL oracle.
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    ((17 * (j + 1) ** 2 + 31 * (j + 1) + 7) % MINHASH_P or 1, (101 * (j + 1) ** 3 + 13) % MINHASH_P)
+    for j in range(8)
+]
+
+
+def word_shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of lowercased whitespace-split text."""
+    toks = tokens_col(F.lower(text))
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(sh)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: (doc_id, content hash, group size, is_canonical) — the
+    canonical representative is the minimum doc_id per digest."""
+    h = docs.select("doc_id", F.md5(F.lower(F.col(text_col))).alias("content_md5"))
+    groups = h.groupBy("content_md5").agg(
+        F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("canonical_doc_id")
+    )
+    return (
+        h.join(groups, "content_md5")
+        .select(
+            "doc_id", "content_md5", "dup_count",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """8-permutation MinHash signature per document, exploded one row per
+    hash index: (doc_id, h_idx, minhash). Cross-engine deterministic
+    (md5-based shingle hashing)."""
+    shingles = word_shingles_col(F.col(text_col), k)
+    hashed = F.transform(shingles, _md5_60)
+    per_perm = [
+        F.struct(
+            F.lit(j).alias("h_idx"),
+            F.coalesce(
+                F.array_min(
+                    F.transform(hashed, lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(MINHASH_P)) + F.lit(b), F.lit(MINHASH_P)))
+                ),
+                F.lit(MINHASH_P),
+            ).alias("minhash"),
+        )
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return docs.select("doc_id", F.explode(F.array(*per_perm)).alias("s")).select(
+        "doc_id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash")
+    )
+
+
+def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: int = 2,
+                       max_block: int = 50) -> DataFrame:
+    """LSH banding → candidate near-dup pairs (doc_a < doc_b, shared bands)."""
+    sigs = minhash_signatures(docs, text_col)
+    bands = (
+        sigs.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws(",", F.collect_list(F.col("minhash").cast("string"))).alias("bkey_raw"))
+        .select("doc_id", "band", F.md5(F.concat_ws("#", F.col("band").cast("string"), "bkey_raw")).alias("bkey"))
+    )
+    sizes = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_block)).select("bkey")
+    small = bands.join(ok, "bkey")
+    a = small.select("bkey", F.col("doc_id").alias("doc_a"))
+    b = small.select("bkey", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word tokens (md5-hashed; bit b of the fingerprint
+    is the sign of the per-bit vote sum)."""
+    toks = docs.select("doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
+    hashed = toks.select("doc_id", _md5_60(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            # integer bit extraction — float division would lose low bits
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Word-k-shingle Jaccard near-dup pairs: explode → equi-join on the
+    shingle hash → intersection counts; union = |A|+|B|−∩ (no second pass)."""
+    with_sh = docs.select(
+        "doc_id", F.explode(word_shingles_col(F.col(text_col), k)).alias("sh")
+    ).select("doc_id", _md5_60(F.col("sh")).alias("shh"))
+    sizes = with_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = with_sh.select(F.col("doc_id").alias("doc_a"), "shh")
+    b = with_sh.select(F.col("doc_id").alias("doc_b"), "shh")
+    inter = (
+        a.join(b, "shh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        bucket_dims: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed by the sign pattern of
+    the first ``bucket_dims`` dimensions (deterministic axis projections).
+    Exact within buckets; candidates across buckets are sacrificed — the
+    recall/cost dial is ``bucket_dims`` (0 = brute force)."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = F.concat_ws(
+        "", *[F.when(vec[i] >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bucket_dims)]
+    )
+    e = embeddings.select("vec_id", vec.alias("v"), bucket.alias("bucket"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

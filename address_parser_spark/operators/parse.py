@@ -56,7 +56,11 @@ def extract_normalize(pages: DataFrame, registries: dict[str, list[str]] | None 
     """pages → one row per extracted mention: normalized forms, shingles,
     detected components, compact key. Narrow — no shuffle; the scan reads only
     (url, text, lang)."""
-    detect = make_detect_udf(registries) if registries is not None else None
+    detect = (
+        make_detect_udf(registries, spark=pages.sparkSession)
+        if registries is not None
+        else None
+    )
     out = (
         pages
         .filter(F.col("lang") == lang)

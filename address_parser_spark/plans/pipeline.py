@@ -19,10 +19,9 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from address_parser_spark.gazetteer.nodes import (
-    INDEX_SCHEMA,
     alias_registries,
     build_nodes,
-    ngram_index,
+    ngram_index_df,
     nodes_to_spark,
 )
 from address_parser_spark.gazetteer.synth import Gazetteer
@@ -48,7 +47,7 @@ def run_pipeline(
     street_address, format, entity_key, cluster_id)."""
     nodes = build_nodes(gaz)
     nodes_df = nodes_to_spark(spark, nodes)
-    index_df = spark.createDataFrame(ngram_index(nodes), INDEX_SCHEMA)
+    index_df = ngram_index_df(nodes_df)
     registries = alias_registries(gaz)
 
     def stage(name: str, build, partition_by=None) -> DataFrame:

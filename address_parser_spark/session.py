@@ -19,6 +19,7 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",

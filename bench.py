@@ -1,0 +1,108 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf"}.
+
+Each query is fully materialized through the noop sink (no driver collect, no
+result truncation). The ER pipeline runs on a deterministic synthetic pages
+corpus (seed-fixed, generated distributed) and reports its own docs/sec in
+the companion key "er_pages_per_sec".
+
+Scaling-efficiency evidence (same job at two parallelism levels) lives in
+scripts/scaling_bench.py; its numbers are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "topk_orders_per_customer",
+    "hierarchy_rollup",
+    "semi_join",
+    "running_total",
+    "events_hourly",
+    "events_sessions",
+    "token_stats",
+    "quality",
+    "langid",
+    "fingerprints",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "jaccard_pairs",
+    "cosine_topk",
+    "ann_lsh",
+    "connected_components",
+]
+
+ER_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_ER_PAGES", "1200"))
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    import __spark_entry__ as entrymod
+    from address_parser_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        start = time.monotonic()
+        materialize(fn(spark, sf_dir))
+        elapsed = round(time.monotonic() - start, 3)
+        timings[name] = elapsed
+        total += elapsed
+
+    # ER pipeline throughput on the deterministic synthetic corpus.
+    from address_parser_spark.gazetteer import synth_gazetteer
+    from address_parser_spark.plans.pipeline import run_pipeline
+    from address_parser_spark.sources.pages import synth_pages_spark
+
+    gaz = synth_gazetteer()
+    pages = synth_pages_spark(spark, gaz, ER_BENCH_PAGES, partitions=int(cpus))
+    start = time.monotonic()
+    materialize(run_pipeline(spark, pages, gaz))
+    er_elapsed = round(time.monotonic() - start, 3)
+    timings["er_pipeline"] = er_elapsed
+    total += er_elapsed
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "er_pages": ER_BENCH_PAGES,
+                "er_pages_per_sec": round(ER_BENCH_PAGES / er_elapsed, 2),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
