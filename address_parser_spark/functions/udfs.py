@@ -54,6 +54,76 @@ _DETECT_SCHEMA = T.StructType(
 
 _REGISTRY_CACHE: dict[int, tuple] = {}
 
+_FEATURES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("mention", T.StringType()),
+            T.StructField("std", T.StringType()),
+            T.StructField("std_basic", T.StringType()),
+            T.StructField("det_p", T.StringType()),
+            T.StructField("det_d", T.StringType()),
+            T.StructField("det_w", T.StringType()),
+        ]
+    )
+)
+
+
+def make_extract_features_udf(registries: dict[str, list[str]], spark=None):
+    """FUSED extraction + normalization (advanced & basic) + prefix detection
+    in a single Arrow node.
+
+    Chaining these as four separate pandas UDFs plants four ArrowEvalPython
+    operators in ONE stage — every task then runs four python workers
+    concurrently (task slots × UDF nodes processes; measured: a 32-core ×
+    64-partition run spent ~25s spawning/importing ~128 workers). One fused
+    UDF keeps it at one worker per task slot and one Arrow round-trip.
+    """
+    from address_parser_spark.textops.detect import AliasRegistry, detect_by_prefix
+    from address_parser_spark.textops.extract import extract_mentions
+    from address_parser_spark.textops.normalize import normalize_advanced, normalize_basic
+
+    bc = spark.sparkContext.broadcast(registries) if spark is not None else None
+    local = registries if bc is None else None
+
+    def _get_regs():
+        raw = bc.value if bc is not None else local
+        key = id(raw)
+        hit = _REGISTRY_CACHE.get(key)
+        if hit is None:
+            hit = (
+                AliasRegistry(raw["province"]),
+                AliasRegistry(raw["district"]),
+                AliasRegistry(raw["ward"]),
+            )
+            _REGISTRY_CACHE.clear()
+            _REGISTRY_CACHE[key] = hit
+        return hit
+
+    @pandas_udf(_FEATURES_SCHEMA)
+    def extract_features_udf(text: pd.Series) -> pd.Series:
+        reg_p, reg_d, reg_w = _get_regs()
+        det_cache: dict[str, tuple] = {}
+
+        def run(t):
+            if not isinstance(t, str) or not t:
+                return []
+            out = []
+            for mention in extract_mentions(t):
+                std = normalize_advanced(mention)
+                if len(std) < 2:
+                    continue
+                basic = normalize_basic(mention)
+                det = det_cache.get(basic)
+                if det is None:
+                    det = detect_by_prefix(basic, reg_p, reg_d, reg_w)
+                    det_cache[basic] = det
+                out.append((mention, std, basic) + det)
+            return out
+
+        return text.map(run)
+
+    return extract_features_udf
+
 
 def make_detect_udf(registries: dict[str, list[str]], spark=None):
     """Prefix-detection UDF bound to the gazetteer alias registries.
@@ -235,3 +305,50 @@ def street_extract_udf(
             for o, p, d, w in zip(original, province, district, ward)
         ]
     )
+
+
+_STREET_ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("street_address", T.StringType()),
+        T.StructField("entity_std", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(_STREET_ENTITY_SCHEMA)
+def street_and_entity_udf(
+    original: pd.Series, std: pd.Series,
+    province: pd.Series, district: pd.Series, ward: pd.Series,
+) -> pd.DataFrame:
+    """Fused street extraction + entity_std derivation (one Arrow node).
+
+    entity_std = distinct tokens of the normalized mention minus the
+    normalized street's tokens, first-occurrence order (the semantics of the
+    previous JVM ``array_except``); falls back to the full std when the
+    subtraction leaves fewer than 2 chars.
+    """
+    from address_parser_spark.textops.normalize import normalize_advanced
+
+    rows = []
+    for o, s, p, d, w in zip(original, std, province, district, ward):
+        o = o if isinstance(o, str) else ""
+        s = s if isinstance(s, str) else ""
+        street = extract_street(
+            o,
+            p if isinstance(p, str) else None,
+            d if isinstance(d, str) else None,
+            w if isinstance(w, str) else None,
+        )
+        street_toks = set(normalize_advanced(street).split()) if street else set()
+        seen: set[str] = set()
+        kept = []
+        for tok in s.split():
+            if tok in street_toks or tok in seen:
+                continue
+            seen.add(tok)
+            kept.append(tok)
+        entity_std = " ".join(kept)
+        if len(entity_std) < 2:
+            entity_std = s
+        rows.append((street, entity_std))
+    return pd.DataFrame(rows, columns=["street_address", "entity_std"])

@@ -37,11 +37,8 @@ from pyspark.sql.window import Window
 from address_parser_spark.functions.columns import char_ngrams_col, dice_col
 from address_parser_spark.functions.udfs import (
     candidate_score_udf,
-    extract_mentions_udf,
-    make_detect_udf,
-    normalize_advanced_udf,
-    normalize_basic_udf,
-    street_extract_udf,
+    make_extract_features_udf,
+    street_and_entity_udf,
 )
 
 DICE_GATE = 0.4
@@ -56,34 +53,27 @@ def extract_normalize(pages: DataFrame, registries: dict[str, list[str]] | None 
     """pages → one row per extracted mention: normalized forms, shingles,
     detected components, compact key. Narrow — no shuffle; the scan reads only
     (url, text, lang)."""
-    detect = (
-        make_detect_udf(registries, spark=pages.sparkSession)
-        if registries is not None
-        else None
-    )
-    out = (
+    features = make_extract_features_udf(registries or {"province": [], "district": [], "ward": []},
+                                         spark=pages.sparkSession)
+    return (
         pages
         .filter(F.col("lang") == lang)
-        .select("url", F.explode(extract_mentions_udf(F.col("text"))).alias("mention"))
-        .withColumn("std", normalize_advanced_udf(F.col("mention")))
-        .filter(F.length("std") >= 2)
-        .withColumn("std_basic", normalize_basic_udf(F.col("mention")))
+        .select("url", F.explode(features(F.col("text"))).alias("f"))
+        .select(
+            "url",
+            F.col("f.mention").alias("mention"),
+            F.col("f.std").alias("std"),
+            F.col("f.std_basic").alias("std_basic"),
+            F.struct(
+                F.col("f.det_p").alias("det_p"),
+                F.col("f.det_d").alias("det_d"),
+                F.col("f.det_w").alias("det_w"),
+            ).alias("det"),
+        )
         .withColumn("grams", char_ngrams_col(F.col("std")))
         .withColumn("n_in", F.size("grams"))
         .withColumn("mid", F.xxhash64("url", "mention"))
     )
-    if detect is not None:
-        out = out.withColumn("det", detect(F.col("std_basic")))
-    else:
-        out = out.withColumn(
-            "det",
-            F.struct(
-                F.lit(None).cast("string").alias("det_p"),
-                F.lit(None).cast("string").alias("det_d"),
-                F.lit(None).cast("string").alias("det_w"),
-            ),
-        )
-    return out
 
 
 def block_candidates(mentions: DataFrame, index_df: DataFrame) -> DataFrame:
@@ -210,23 +200,15 @@ def attach_street(winners: DataFrame) -> DataFrame:
     return (
         winners
         .withColumn(
-            "street_address",
-            street_extract_udf(F.col("mention"), F.col("province"), F.col("district"), F.col("ward")),
-        )
-        .withColumn(
-            "entity_std",
-            F.concat_ws(
-                " ",
-                F.array_except(
-                    F.split(F.col("std"), " "),
-                    F.split(normalize_advanced_udf(F.col("street_address")), " "),
-                ),
+            "se",
+            street_and_entity_udf(
+                F.col("mention"), F.col("std"),
+                F.col("province"), F.col("district"), F.col("ward"),
             ),
         )
-        .withColumn(
-            "entity_std",
-            F.when(F.length("entity_std") >= 2, F.col("entity_std")).otherwise(F.col("std")),
-        )
+        .withColumn("street_address", F.col("se.street_address"))
+        .withColumn("entity_std", F.col("se.entity_std"))
+        .drop("se")
         .withColumn("format", F.when(F.col("is_new"), F.lit("new")).otherwise(F.lit("old")))
         .withColumn(
             "entity_key",

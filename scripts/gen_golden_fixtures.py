@@ -134,10 +134,38 @@ def main() -> None:
             }
         )
 
+    # BIO-labeling goldens from the NER generator's label_tokens.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_bsd", REFERENCE / "ner" / "build_standard_dataset.py"
+    )
+    ref_bsd = importlib.util.module_from_spec(spec)
+    sys.modules["ref_bsd"] = ref_bsd  # dataclass decorator resolves __module__
+    spec.loader.exec_module(ref_bsd)
+    bio_rows = []
+    for case in street_cases[:150]:
+        res = ref_bsd.label_tokens(
+            case["original"],
+            street=None,
+            province=case["province"],
+            district=case["district"],
+            ward=case["ward"],
+        )
+        bio_rows.append(
+            {
+                **case,
+                "tokens": res.tokens,
+                "ner_tags": res.ner_tags,
+                "matches": res.matches,
+            }
+        )
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(
         json.dumps(
-            {"normalize": norm_rows, "street": street_rows, "signatures": sig_rows},
+            {"normalize": norm_rows, "street": street_rows, "signatures": sig_rows,
+             "bio": bio_rows},
             ensure_ascii=False,
             indent=1,
         ),

@@ -42,3 +42,16 @@ def test_component_signature_parity(row):
     sequences, tokens = component_signature(row["component"])
     assert sequences == row["sequences"]
     assert sorted(tokens) == row["tokens"]
+
+
+@pytest.mark.parametrize("row", FIXTURES["bio"], ids=lambda r: repr(r["original"])[:40])
+def test_bio_labeling_parity(row):
+    from address_parser_spark.textops.bio import label_tokens
+
+    got = label_tokens(
+        row["original"], street=None, province=row["province"],
+        district=row["district"], ward=row["ward"],
+    )
+    assert got["tokens"] == row["tokens"]
+    assert got["ner_tags"] == row["ner_tags"]
+    assert got["matches"] == row["matches"]
