@@ -82,7 +82,14 @@ def minhash_signature_col(grams: Column, num_hashes: int = 32, seed: int = 7) ->
 def lsh_band_keys_col(signature: Column, bands: int = 8, rows: int = 4) -> Column:
     """Band keys ``array<string>`` for LSH bucketing: hash of each ``rows``-
     slice of the signature, prefixed with the band index so buckets from
-    different bands never collide."""
+    different bands never collide.
+
+    NOTE: pass a MATERIALIZED signature column (its own projection/cache) —
+    handing the raw ``minhash_signature_col`` expression here makes Catalyst's
+    CollapseProject inline the whole signature into every band, multiplying
+    the hash work by the band count. For expression-only pipelines use
+    ``lsh_band_keys_from_grams`` instead.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.concat_ws(
@@ -90,6 +97,44 @@ def lsh_band_keys_col(signature: Column, bands: int = 8, rows: int = 4) -> Colum
             F.xxhash64(F.concat_ws(",", F.slice(signature, b * rows + 1, rows))).cast("string"),
         ),
     )
+
+
+def lsh_band_keys_from_grams(grams: Column, bands: int = 10, rows: int = 3,
+                             seed: int = 7) -> Column:
+    """Band keys computed directly from the shingle array: each band hashes
+    only its OWN ``rows`` MinHash permutations, so the total hash work is
+    exactly bands×rows regardless of how Catalyst collapses projections."""
+    import random
+
+    rng = random.Random(seed)
+    params = [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(bands * rows)
+    ]
+
+    def _minhash(a: int, b: int) -> Column:
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    grams,
+                    lambda g: F.pmod(
+                        F.lit(a) * F.pmod(_hash64(g), F.lit(MINHASH_PRIME)) + F.lit(b),
+                        F.lit(MINHASH_PRIME),
+                    ),
+                )
+            ),
+            F.lit(MINHASH_PRIME),
+        )
+
+    band_keys = []
+    for band in range(bands):
+        parts = [
+            _minhash(*params[band * rows + r]).cast("string") for r in range(rows)
+        ]
+        band_keys.append(
+            F.concat_ws("#", F.lit(str(band)), F.xxhash64(F.concat_ws(",", *parts)).cast("string"))
+        )
+    return F.array(*band_keys)
 
 
 def sorted_token_key_col(std: Column) -> Column:

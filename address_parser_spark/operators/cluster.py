@@ -68,6 +68,26 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _checkpoint_with_fingerprint(df: DataFrame, it: int, checkpoint_fn) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize one iteration AND read its convergence fingerprint from the
+    same job via ``observe`` — halving the per-iteration job count (driver-side
+    job latency is the serial term that caps scaling efficiency)."""
+    from pyspark.sql import Observation
+
+    if checkpoint_fn is not None:
+        out = checkpoint_fn(df, it)
+        return out, _fingerprint(out)
+    obs = Observation(f"cc_fp_{it}")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    )
+    out = observed.localCheckpoint(eager=True)
+    metrics = obs.get
+    return out, (int(metrics["n"]), int(metrics["h"]))
+
+
 def connected_components(
     edges: DataFrame,
     checkpoint_fn: Optional[Callable[[DataFrame, int], DataFrame]] = None,
@@ -83,17 +103,10 @@ def connected_components(
     parquet/Iceberg checkpoints for resumability (sources.lineage); default is
     ``localCheckpoint`` (truncates lineage in-memory).
     """
-    def checkpoint(df: DataFrame, it: int) -> DataFrame:
-        if checkpoint_fn is not None:
-            return checkpoint_fn(df, it)
-        return df.localCheckpoint(eager=True)
-
-    current = checkpoint(_canon(edges), -1)
-    prev_fp = _fingerprint(current)
+    current, prev_fp = _checkpoint_with_fingerprint(_canon(edges), -1, checkpoint_fn)
     for it in range(max_iterations):
         stepped = _small_star(_large_star(current))
-        current = checkpoint(_canon(stepped), it)
-        fp = _fingerprint(current)
+        current, fp = _checkpoint_with_fingerprint(_canon(stepped), it, checkpoint_fn)
         if fp == prev_fp:
             break
         prev_fp = fp

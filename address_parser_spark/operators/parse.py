@@ -49,18 +49,20 @@ PARTIAL_MASS_THRESHOLD = 12
 
 
 def extract_normalize(pages: DataFrame, registries: dict[str, list[str]] | None = None,
-                      lang: str = "vi") -> DataFrame:
+                      lang: str = "vi", carry_cols: list[str] | None = None) -> DataFrame:
     """pages → one row per extracted mention: normalized forms, shingles,
     detected components, compact key. Narrow — no shuffle; the scan reads only
-    (url, text, lang)."""
+    (url, text, lang) plus any ``carry_cols`` (e.g. the event-time column for
+    the streaming path)."""
     features = make_extract_features_udf(registries or {"province": [], "district": [], "ward": []},
                                          spark=pages.sparkSession)
     return (
         pages
         .filter(F.col("lang") == lang)
-        .select("url", F.explode(features(F.col("text"))).alias("f"))
+        .select("url", *(carry_cols or []), F.explode(features(F.col("text"))).alias("f"))
         .select(
             "url",
+            *(carry_cols or []),
             F.col("f.mention").alias("mention"),
             F.col("f.std").alias("std"),
             F.col("f.std_basic").alias("std_basic"),
@@ -234,16 +236,19 @@ def resolve_mentions(
 
     ``mentions`` feeds both the blocking probe and the attribute join, and
     ``cands`` feeds both the partial-flag agg and the gate — without explicit
-    persistence Catalyst re-executes the extraction/detection UDF stage and
-    the blocking join once per consumer (plan-level common subexpressions are
-    not shared across branches). On a cluster these two persists are
-    MEMORY_AND_DISK buffers of mention-sized (not corpus-sized) data.
+    materialization Catalyst re-executes the extraction/detection UDF stage
+    and the blocking join once per consumer (plan-level common subexpressions
+    are not shared across branches). ``localCheckpoint`` is used instead of
+    ``persist``: it materializes AND truncates the plan, keeping downstream
+    analysis cheap and the CacheManager registry empty (big cached plans make
+    every later query pay plan-canonicalization time on the driver). The
+    buffers are mention-sized, not corpus-sized.
     """
     mentions = extract_normalize(pages, registries)
     if persist_intermediates:
-        mentions = mentions.persist()
+        mentions = mentions.localCheckpoint(eager=True)
     cands = block_candidates(mentions, index_df)
     if persist_intermediates:
-        cands = cands.persist()
+        cands = cands.localCheckpoint(eager=True)
     scored = score_candidates(cands, mentions, nodes_df)
     return attach_street(pick_winners(scored))

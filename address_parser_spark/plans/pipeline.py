@@ -50,15 +50,22 @@ def run_pipeline(
     index_df = ngram_index_df(nodes_df)
     registries = alias_registries(gaz)
 
-    def stage(name: str, build, partition_by=None) -> DataFrame:
-        """Materialize each stage exactly once: durable snapshot when a store
-        is attached, else in-memory persist — ``resolved`` feeds three
-        downstream branches (keys, anchors, final join) and must not be
-        recomputed per branch."""
+    def stage(name: str, build, partition_by=None, multi_consumer: bool = True) -> DataFrame:
+        """Materialize each multi-consumer stage exactly once: durable
+        snapshot when a store is attached, else in-memory persist —
+        ``resolved`` feeds three downstream branches (keys, anchors, final
+        join) and must not be recomputed per branch. Single-consumer stages
+        stay lazy (every eager action is a serial job that caps scaling
+        efficiency)."""
         if store is None:
-            df = build().persist()
-            df.count()  # eager: one computation, shared by every consumer
-            return df
+            if not multi_consumer:
+                return build()
+            # localCheckpoint rather than persist: materializes once AND
+            # truncates the logical plan to an RDD scan. Persisted frames with
+            # UDF-heavy plans make every subsequent query pay driver-side plan
+            # canonicalization against the cache registry (measured ~20 s per
+            # stage once a few big plans were cached).
+            return build().localCheckpoint(eager=True)
         return store.run_stage(name, build, partition_by=partition_by)
 
     resolved = stage("resolved", lambda: resolve_mentions(pages, nodes_df, index_df, registries))
@@ -66,6 +73,7 @@ def run_pipeline(
     edges = stage(
         "edges",
         lambda: match_edges(score_pairs(candidate_pairs(keyed, max_block=max_block))),
+        multi_consumer=False,
     )
 
     def build_clusters() -> DataFrame:
@@ -74,5 +82,5 @@ def run_pipeline(
             checkpoint_fn = lambda df, it: store.write(df, f"cc_iter_{it + 1:03d}")
         return cluster_mentions(resolved, extra_edges=edges, checkpoint_fn=checkpoint_fn)
 
-    clustered = stage("clustered", build_clusters)
+    clustered = stage("clustered", build_clusters, multi_consumer=False)
     return clustered

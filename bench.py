@@ -73,16 +73,24 @@ def main() -> None:
         timings[name] = elapsed
         total += elapsed
 
-    # ER pipeline throughput on the deterministic synthetic corpus.
+    # ER pipeline throughput on the deterministic synthetic corpus. The
+    # corpus is materialized to parquet first so the measured job reads from
+    # a scan (generation chained lazily would share the extraction stage).
+    import tempfile
+
     from address_parser_spark.gazetteer import synth_gazetteer
     from address_parser_spark.plans.pipeline import run_pipeline
     from address_parser_spark.sources.pages import synth_pages_spark
 
     gaz = synth_gazetteer()
-    pages = synth_pages_spark(spark, gaz, ER_BENCH_PAGES, partitions=int(cpus))
-    start = time.monotonic()
-    materialize(run_pipeline(spark, pages, gaz))
-    er_elapsed = round(time.monotonic() - start, 3)
+    with tempfile.TemporaryDirectory(prefix="bench_pages_") as tmp:
+        corpus = f"{tmp}/pages"
+        synth_pages_spark(spark, gaz, ER_BENCH_PAGES, partitions=int(cpus) * 2)\
+            .write.mode("overwrite").parquet(corpus)
+        pages = spark.read.parquet(corpus)
+        start = time.monotonic()
+        materialize(run_pipeline(spark, pages, gaz))
+        er_elapsed = round(time.monotonic() - start, 3)
     timings["er_pipeline"] = er_elapsed
     total += er_elapsed
 
