@@ -369,7 +369,14 @@ _MINHASH_PARAMS_SQL = ", ".join(
 _JACCARD_CTES = f"""
 toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
-hashed AS (SELECT doc_id, {_H60.format(x='s')} AS shh FROM sh),
+hashed_raw AS (SELECT doc_id, {_H60.format(x='s')} AS shh FROM sh),
+-- document-frequency cap: shingles in > 200 docs are boilerplate and are
+-- dropped from BOTH the intersections and the per-doc set sizes (mirrors
+-- ngram_jaccard_pairs max_df)
+hashed AS (
+    SELECT doc_id, shh FROM hashed_raw
+    WHERE shh IN (SELECT shh FROM hashed_raw GROUP BY shh HAVING count(*) <= 200)
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

@@ -13,7 +13,14 @@ Scale shape notes (the part that matters at 100 TB):
   oversized buckets get capped exactly like pairs.candidate_pairs.
 - Jaccard pairs: shingle explode → equi-join on shingle hash → per-pair
   intersection counts (the same distinct-gram trick as the blocking join;
-  union size = |A|+|B|−∩ needs no second pass).
+  union size = |A|+|B|−∩ needs no second pass). A shingle shared by n docs
+  yields n²/2 join rows, so globally-hot shingles (document frequency >
+  ``max_df`` — boilerplate headers, licence blurbs) are DROPPED before the
+  self-join from both the intersections and the per-doc set sizes; the drop
+  is surfaced by ``dropped_shingles`` (no silent caps).
+- hash functions: md5-derived 60-bit ints by default (bit-identical to the
+  DuckDB oracles); pass ``fast_hash=True`` for xxhash64 on the production /
+  bench path (~3× faster, Spark-only — same dataflow shape).
 - cosine near-dup: brute force is O(n²) — only for gold/test scale; the
   LSH-bucketed variant in similarity_search bounds candidates per bucket.
 """
@@ -25,6 +32,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 from address_parser_spark.operators.textquality import _md5_60, tokens_col
 
 MINHASH_P = 2147483647  # Mersenne 2^31-1: a·h+b < 2^63 under ANSI arithmetic
+
+DEFAULT_MAX_DF = 200  # shingle document-frequency cap for the Jaccard self-join
+
+
+def _shingle_hash(col: Column, fast_hash: bool) -> Column:
+    """60-bit md5 (cross-engine, oracle-checkable) or xxhash64 (fast path)."""
+    return F.xxhash64(col) if fast_hash else _md5_60(col)
 
 # Deterministic (a, b) parameter table shared with the SQL oracle.
 MINHASH_PARAMS: list[tuple[int, int]] = [
@@ -60,12 +74,17 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
+                       fast_hash: bool = False) -> DataFrame:
     """8-permutation MinHash signature per document, exploded one row per
-    hash index: (doc_id, h_idx, minhash). Cross-engine deterministic
-    (md5-based shingle hashing)."""
+    hash index: (doc_id, h_idx, minhash). Cross-engine deterministic with the
+    default md5 shingle hashing; ``fast_hash=True`` switches to xxhash64 for
+    the production/bench path (signatures differ but dedup semantics and the
+    dataflow shape are identical)."""
     shingles = word_shingles_col(F.col(text_col), k)
-    hashed = F.transform(shingles, _md5_60)
+    # the permutation below pmods h into [0, P) first, so signed xxhash64
+    # values are handled identically to the unsigned md5-60 ints
+    hashed = F.transform(shingles, lambda s: _shingle_hash(s, fast_hash))
     per_perm = [
         F.struct(
             F.lit(j).alias("h_idx"),
@@ -84,9 +103,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3) -> D
 
 
 def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: int = 2,
-                       max_block: int = 50) -> DataFrame:
+                       max_block: int = 50, fast_hash: bool = False) -> DataFrame:
     """LSH banding → candidate near-dup pairs (doc_a < doc_b, shared bands)."""
-    sigs = minhash_signatures(docs, text_col)
+    sigs = minhash_signatures(docs, text_col, fast_hash=fast_hash)
     bands = (
         sigs.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -127,12 +146,26 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2, max_df: int = DEFAULT_MAX_DF,
+                        fast_hash: bool = False) -> DataFrame:
     """Word-k-shingle Jaccard near-dup pairs: explode → equi-join on the
-    shingle hash → intersection counts; union = |A|+|B|−∩ (no second pass)."""
-    with_sh = docs.select(
+    shingle hash → intersection counts; union = |A|+|B|−∩ (no second pass).
+
+    Shingles with document frequency > ``max_df`` are dropped globally BEFORE
+    the self-join (a shingle in n docs produces n²/2 join rows — one piece of
+    common boilerplate would otherwise make the join quadratic in corpus
+    size). Jaccard is computed over the FILTERED shingle sets on both sides
+    of the ratio, so the result is exactly "Jaccard similarity ignoring
+    corpus-hot shingles" — which is also the better dedup signal: boilerplate
+    shared by everything carries no near-duplicate evidence. Inspect the drop
+    with ``dropped_shingles`` (no silent caps)."""
+    raw_sh = docs.select(
         "doc_id", F.explode(word_shingles_col(F.col(text_col), k)).alias("sh")
-    ).select("doc_id", _md5_60(F.col("sh")).alias("shh"))
+    ).select("doc_id", _shingle_hash(F.col("sh"), fast_hash).alias("shh"))
+    df_counts = raw_sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
+    with_sh = raw_sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shh"), "shh"
+    )
     sizes = with_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = with_sh.select(F.col("doc_id").alias("doc_a"), "shh")
     b = with_sh.select(F.col("doc_id").alias("doc_b"), "shh")
@@ -150,6 +183,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
+
+
+def dropped_shingles(docs: DataFrame, text_col: str = "text", k: int = 3,
+                     max_df: int = DEFAULT_MAX_DF, fast_hash: bool = False) -> DataFrame:
+    """Shingle hashes excluded from ``ngram_jaccard_pairs`` by the document-
+    frequency cap — surfaced for lineage/metrics (no silent caps). One row per
+    dropped shingle hash with its document frequency."""
+    raw_sh = docs.select(
+        "doc_id", F.explode(word_shingles_col(F.col(text_col), k)).alias("sh")
+    ).select("doc_id", _shingle_hash(F.col("sh"), fast_hash).alias("shh"))
+    return raw_sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,

@@ -55,7 +55,11 @@ def map_old_to_new(
         F.col("new_ward_code"), F.col("new_ward_name"), F.col("new_province_name"),
         F.col("id").alias("mapping_id"),
     ))
-    joined = records.join(m, records[ward_code_col] == m["old_ward_code"], "left")
+    # One preferred mapping row PER INPUT ROW: the window partitions on a
+    # unique row id, not the record columns (full-column partitioning silently
+    # merged duplicate records and shuffled on a full-row-wide key).
+    tagged = records.withColumn("__row_id", F.monotonically_increasing_id())
+    joined = tagged.join(m, tagged[ward_code_col] == m["old_ward_code"], "left")
 
     def _name_match(rec_col: str | None, map_col: str) -> F.Column:
         if rec_col is None:
@@ -70,14 +74,15 @@ def map_old_to_new(
         _name_match(district_name_col, "old_district_name") * 2
         + _name_match(province_name_col, "old_province_name")
     )
-    w = Window.partitionBy(*records.columns).orderBy(
+    w = Window.partitionBy("__row_id").orderBy(
         F.desc("match_rank"), F.asc("mapping_id")
     )
     return (
         joined.withColumn("match_rank", rank)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "match_rank", "old_ward_code", "old_district_name", "old_province_name")
+        .drop("rn", "match_rank", "__row_id",
+              "old_ward_code", "old_district_name", "old_province_name")
     )
 
 
@@ -96,16 +101,20 @@ def map_new_to_old(
         F.col("old_district_name"), F.col("old_province_name"),
         F.col("id").alias("mapping_id"),
     ))
-    joined = records.join(m, records[ward_code_col] == m["new_ward_code"], "left")
+    tagged = records.withColumn("__row_id", F.monotonically_increasing_id())
+    joined = tagged.join(m, tagged[ward_code_col] == m["new_ward_code"], "left")
+    # Null-guarded like map_old_to_new's _name_match: when the record's
+    # province value is NULL the rank must be 0, not NULL (a NULL rank would
+    # depend on nulls-last ordering instead of being deterministic).
     match = (
         F.col("new_province_name").isNotNull()
-        & (F.lit(province_name_col).isNotNull())
+        & F.col(province_name_col).isNotNull()
         & F.col("new_province_name").contains(F.col(province_name_col))
     ).cast("int") if province_name_col else F.lit(0)
-    w = Window.partitionBy(*records.columns).orderBy(F.desc("match_rank"), F.asc("mapping_id"))
+    w = Window.partitionBy("__row_id").orderBy(F.desc("match_rank"), F.asc("mapping_id"))
     return (
         joined.withColumn("match_rank", match)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "match_rank", "new_ward_code", "new_province_name")
+        .drop("rn", "match_rank", "__row_id", "new_ward_code", "new_province_name")
     )

@@ -109,28 +109,22 @@ def extract_media_features(df: DataFrame, binary_col: str = "html",
 def sample_frames(df: DataFrame, binary_col: str = "html", n_frames: int = 4,
                   key_cols: list[str] | None = None) -> DataFrame:
     """Deterministic frame sampling for "video" payloads: one output row per
-    sampled frame, frame bytes = evenly spaced slices of the payload (the
-    slicing/fan-out plumbing is real; a codec would replace ``_slice``)."""
+    sampled frame, frame bytes = evenly spaced slices of the payload.
+
+    Pure JVM dataflow — ``explode(sequence)`` fan-out + binary ``substring``
+    slices, zero Python on the data path (whole-stage codegen end to end).
+    A real codec's frame decode would replace the substring with a
+    ``mapInPandas`` kernel on the same (keys, frame_idx, frame) shape."""
     keys = key_cols or ["url"]
-    out_schema = T.StructType(
-        [df.schema[k] for k in keys]
-        + [T.StructField("frame_idx", T.IntegerType()),
-           T.StructField("frame", T.BinaryType())]
+    payload = F.coalesce(F.col(binary_col), F.lit(b""))
+    # step = max(len // n_frames, 1); slice idx covers [idx*step, idx*step+step)
+    step = F.greatest(F.floor(F.length(payload) / n_frames).cast("int"), F.lit(1))
+    return (
+        df.select(*keys, payload.alias("_payload"), step.alias("_step"))
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))))
+        .withColumn(
+            "frame",
+            F.substring(F.col("_payload"), F.col("frame_idx") * F.col("_step") + 1, F.col("_step")),
+        )
+        .select(*keys, F.col("frame_idx").cast("int").alias("frame_idx"), "frame")
     )
-
-    def _slice(payload: bytes, idx: int) -> bytes:
-        if not payload:
-            return b""
-        step = max(len(payload) // n_frames, 1)
-        return payload[idx * step : idx * step + step]
-
-    def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            rows = []
-            for _, row in batch.iterrows():
-                payload = bytes(row[binary_col]) if row[binary_col] is not None else b""
-                for idx in range(n_frames):
-                    rows.append(tuple(row[k] for k in keys) + (idx, _slice(payload, idx)))
-            yield pd.DataFrame(rows, columns=keys + ["frame_idx", "frame"])
-
-    return df.mapInPandas(_frames_batch, schema=out_schema)

@@ -114,18 +114,22 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame)
         F.col("det.det_w").alias("det_w"),
     )
 
+    by_hits = Window.partitionBy("mid").orderBy(F.desc("inter"), F.asc("node_id"))
     gated = (
         cands
         .join(mention_attrs, "mid")
+        # Pre-gate cap: the reference keeps only the 400 most-hit nodes from
+        # the inverted-index counter BEFORE the Dice gate (inexus_parser.py
+        # :114, 2680) — this bounds per-mention fan-out when a gram-rich
+        # mention overlaps many nodes, which is exactly the blow-up mode at
+        # corpus scale. Deterministic tiebreak on node_id.
+        .withColumn("rk_pre", F.row_number().over(by_hits))
+        .filter(F.col("rk_pre") <= TOPK_CANDIDATES)
         .withColumn("dice", dice_col(F.col("inter_primary"), F.col("n_in"), F.col("n_primary")))
         .filter(F.col("dice") >= DICE_GATE)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("mid").orderBy(F.desc("inter"), F.asc("node_id"))
-            ),
-        )
+        .withColumn("rk", F.row_number().over(by_hits))
         .filter(F.col("rk") <= SCORE_CANDIDATES)
+        .drop("rk_pre", "rk")
         .join(flags, "mid", "left")
     )
 

@@ -37,8 +37,12 @@ def tokens_col(text: Column) -> Column:
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, chars, mean token
-    length (SURVEY §2 'token counting' for training-data pipelines)."""
-    toks = tokens_col(F.col(text_col))
+    length (SURVEY §2 'token counting' for training-data pipelines).
+
+    Tokenizes LOWERCASED text — same as detect_language / word_shingles_col
+    and the DuckDB oracle — so distinct-token counts are case-insensitive on
+    any input, not just all-lowercase fixtures."""
+    toks = tokens_col(F.lower(F.col(text_col)))
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -55,8 +59,9 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: alpha ratio, stopword ratio, repetition
     ratio; composite flag. Classic pretraining-corpus filters (Gopher-style
-    rules) as pure column math."""
-    toks = tokens_col(F.col(text_col))
+    rules) as pure column math. Tokenizes lowercased text (mirrors the
+    oracle's lower(text) tokenization)."""
+    toks = tokens_col(F.lower(F.col(text_col)))
     n_tokens = F.greatest(F.size(toks), F.lit(1))
     alpha_ratio = F.round(
         F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
@@ -113,10 +118,17 @@ def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprints(docs: DataFrame, text_col: str = "text", shingle_k: int = 3) -> DataFrame:
-    """Document fingerprinting: md5 content hash + min-hash over word
-    k-shingles (a single-permutation MinHash — the scale path uses the full
-    banded variant in ``dedup.minhash_signatures``)."""
+def fingerprints(docs: DataFrame, text_col: str = "text", shingle_k: int = 3,
+                 fast_hash: bool = False) -> DataFrame:
+    """Document fingerprinting: content hash + min-hash over word k-shingles
+    (a single-permutation MinHash — the scale path uses the full banded
+    variant in ``dedup.minhash_signatures``). Default hashes are md5-derived
+    (bit-identical to the DuckDB oracle); ``fast_hash=True`` switches to
+    xxhash64 for the production/bench path."""
+    shingle_hash = (lambda c: F.xxhash64(c)) if fast_hash else _md5_60
+    content_hash = (
+        (lambda c: F.xxhash64(c).cast("string")) if fast_hash else F.md5
+    )
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     toks = tokens_col(norm)
     n = F.size(toks)
@@ -129,7 +141,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text", shingle_k: int = 3) ->
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return docs.select(
         "doc_id",
-        F.md5(norm).alias("content_md5"),
-        F.array_min(F.transform(shingles, _md5_60)).alias("min_shingle_hash"),
+        content_hash(norm).alias("content_md5"),
+        F.array_min(F.transform(shingles, shingle_hash)).alias("min_shingle_hash"),
         F.size(F.array_distinct(shingles)).alias("n_shingles"),
     )

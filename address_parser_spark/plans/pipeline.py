@@ -36,15 +36,54 @@ from address_parser_spark.operators.parse import resolve_mentions
 from address_parser_spark.sources.lineage import StageStore
 
 
+def attach_new_ward_codes(
+    spark: SparkSession, clustered: DataFrame, nodes_df: DataFrame, gaz: Gazetteer
+) -> DataFrame:
+    """J4 wiring: old→new administrative-code mapping on the flagship output.
+
+    The preferred mapping row per canonical node is resolved ONCE on the
+    nodes DIMENSION (reference ``map_old_address_ids_to_new`` preference
+    semantics via ``operators.mapping.map_old_to_new``), then broadcast-joined
+    onto the clustered mentions on ``node_id`` — no shuffle and no window ever
+    touches the fact table, so the flagship scaling profile is unchanged.
+    New-format winners already carry their new-format ward code."""
+    from address_parser_spark.operators.mapping import map_old_to_new, mappings_to_spark
+
+    mappings = mappings_to_spark(spark, gaz.ward_mappings)
+    old_nodes = (
+        nodes_df.filter((~F.col("is_new")) & F.col("ward_code").isNotNull())
+        .select("node_id", "ward_code", "province", "district")
+    )
+    node_map = map_old_to_new(old_nodes, mappings).select(
+        "node_id", "new_ward_code", "new_ward_name", "new_province_name"
+    )
+    return (
+        clustered.join(F.broadcast(node_map), "node_id", "left")
+        .withColumn(
+            "new_ward_code",
+            F.when(F.col("is_new"), F.col("ward_code")).otherwise(F.col("new_ward_code")),
+        )
+        .withColumn(
+            "new_ward_name",
+            F.when(F.col("is_new"), F.col("ward")).otherwise(F.col("new_ward_name")),
+        )
+        .withColumn(
+            "new_province_name",
+            F.when(F.col("is_new"), F.col("province")).otherwise(F.col("new_province_name")),
+        )
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     gaz: Gazetteer,
     store: Optional[StageStore] = None,
     max_block: int = 64,
+    attach_ward_mapping: bool = True,
 ) -> DataFrame:
     """pages → clustered mentions (mid, url, mention, std, parsed components,
-    street_address, format, entity_key, cluster_id)."""
+    street_address, format, entity_key, cluster_id, new_ward_code/-name)."""
     nodes = build_nodes(gaz)
     nodes_df = nodes_to_spark(spark, nodes)
     index_df = ngram_index_df(nodes_df)
@@ -83,4 +122,6 @@ def run_pipeline(
         return cluster_mentions(resolved, extra_edges=edges, checkpoint_fn=checkpoint_fn)
 
     clustered = stage("clustered", build_clusters, multi_consumer=False)
+    if attach_ward_mapping and gaz.ward_mappings:
+        clustered = attach_new_ward_codes(spark, clustered, nodes_df, gaz)
     return clustered

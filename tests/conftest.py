@@ -20,3 +20,7 @@ def gaz():
     from address_parser_spark.gazetteer import synth_gazetteer
 
     return synth_gazetteer()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end jobs (spark-submit smoke)")
