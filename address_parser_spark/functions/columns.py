@@ -99,11 +99,23 @@ def lsh_band_keys_col(signature: Column, bands: int = 8, rows: int = 4) -> Colum
     )
 
 
-def lsh_band_keys_from_grams(grams: Column, bands: int = 10, rows: int = 3,
-                             seed: int = 7) -> Column:
-    """Band keys computed directly from the shingle array: each band hashes
-    only its OWN ``rows`` MinHash permutations, so the total hash work is
-    exactly bands×rows regardless of how Catalyst collapses projections."""
+def gram_hash_col(grams: Column) -> Column:
+    """Shingle array → array of 64-bit hashes reduced mod the MinHash prime.
+
+    Stage THIS as a real column before fanning out per-permutation work: a
+    Column object is an expression TREE, so passing a gen-expression into N
+    permutation lambdas pastes (and re-evaluates) the whole generation N
+    times per row — measured as ~180 CPU-seconds for the blocking-key stage
+    on an 11k-mention corpus, 30× the necessary work."""
+    return F.transform(grams, lambda g: F.pmod(_hash64(g), F.lit(MINHASH_PRIME)))
+
+
+def lsh_band_keys_from_hashes(ghash: Column, bands: int = 10, rows: int = 3,
+                              seed: int = 7) -> Column:
+    """Band keys from pre-hashed shingles (``gram_hash_col`` output, ideally a
+    materialized column — see its docstring). Per band×row the work is one
+    multiply-add-mod pass over the hash array; no string hashing, no shingle
+    re-generation."""
     import random
 
     rng = random.Random(seed)
@@ -116,11 +128,8 @@ def lsh_band_keys_from_grams(grams: Column, bands: int = 10, rows: int = 3,
         return F.coalesce(
             F.array_min(
                 F.transform(
-                    grams,
-                    lambda g: F.pmod(
-                        F.lit(a) * F.pmod(_hash64(g), F.lit(MINHASH_PRIME)) + F.lit(b),
-                        F.lit(MINHASH_PRIME),
-                    ),
+                    ghash,
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)),
                 )
             ),
             F.lit(MINHASH_PRIME),
@@ -135,6 +144,15 @@ def lsh_band_keys_from_grams(grams: Column, bands: int = 10, rows: int = 3,
             F.concat_ws("#", F.lit(str(band)), F.xxhash64(F.concat_ws(",", *parts)).cast("string"))
         )
     return F.array(*band_keys)
+
+
+def lsh_band_keys_from_grams(grams: Column, bands: int = 10, rows: int = 3,
+                             seed: int = 7) -> Column:
+    """Band keys straight from a shingle array. Convenience form — prefer
+    staging ``gram_hash_col`` as a real column and calling
+    ``lsh_band_keys_from_hashes`` so the shingle generation/hashing isn't
+    duplicated into every permutation lambda."""
+    return lsh_band_keys_from_hashes(gram_hash_col(grams), bands=bands, rows=rows, seed=seed)
 
 
 def sorted_token_key_col(std: Column) -> Column:

@@ -63,9 +63,24 @@ _FEATURES_SCHEMA = T.ArrayType(
             T.StructField("det_p", T.StringType()),
             T.StructField("det_d", T.StringType()),
             T.StructField("det_w", T.StringType()),
+            T.StructField("partial", T.BooleanType()),
         ]
     )
 )
+
+
+def partial_flag(std: str) -> bool:
+    """Reference partial-input heuristic (inexus_parser.py:148-154): the five
+    most frequent char-4-grams WITHIN the input (multiplicity, not node hits)
+    carrying total mass ≥ 12 marks a repetitive/fragmentary input → the
+    scorer leans on partial_ratio."""
+    from collections import Counter
+
+    from address_parser_spark.textops.ngrams import char_ngrams
+
+    counts = Counter(char_ngrams(std))
+    top5 = counts.most_common(5)
+    return bool(top5) and sum(c for _, c in top5) >= 12
 
 
 def make_extract_features_udf(registries: dict[str, list[str]], spark=None):
@@ -117,7 +132,7 @@ def make_extract_features_udf(registries: dict[str, list[str]], spark=None):
                 if det is None:
                     det = detect_by_prefix(basic, reg_p, reg_d, reg_w)
                     det_cache[basic] = det
-                out.append((mention, std, basic) + det)
+                out.append((mention, std, basic) + det + (partial_flag(std),))
             return out
 
         return text.map(run)
@@ -307,6 +322,37 @@ def street_extract_udf(
     )
 
 
+def _street_and_entity(original: str, std: str, province, district, ward) -> tuple[str, str]:
+    """Street extraction + entity_std derivation (row-local core shared by the
+    standalone UDF and the fused resolver).
+
+    ``entity_std`` is the canonical entity-bearing string the blocking keys
+    and pair scoring run on. When the (repaired) components are known it is
+    built FROM THEM — ward district province, normalized — so every mention
+    of an entity shares one entity_std regardless of which components the
+    page happened to render (partial mentions the repair cascade completed
+    would otherwise land in different blocks). Mentions with no resolved
+    components fall back to the normalized mention minus its street tokens."""
+    from address_parser_spark.textops.normalize import normalize_advanced, normalize_basic
+
+    street = extract_street(original, province, district, ward)
+    parts = [normalize_basic(x) for x in (ward, district, province) if x]
+    entity_std = " ".join(p for p in parts if p)
+    if len(entity_std) < 2:
+        street_toks = set(normalize_advanced(street).split()) if street else set()
+        seen: set[str] = set()
+        kept = []
+        for tok in std.split():
+            if tok in street_toks or tok in seen:
+                continue
+            seen.add(tok)
+            kept.append(tok)
+        entity_std = " ".join(kept)
+        if len(entity_std) < 2:
+            entity_std = std
+    return street, entity_std
+
+
 _STREET_ENTITY_SCHEMA = T.StructType(
     [
         T.StructField("street_address", T.StringType()),
@@ -327,28 +373,392 @@ def street_and_entity_udf(
     previous JVM ``array_except``); falls back to the full std when the
     subtraction leaves fewer than 2 chars.
     """
-    from address_parser_spark.textops.normalize import normalize_advanced
-
     rows = []
     for o, s, p, d, w in zip(original, std, province, district, ward):
-        o = o if isinstance(o, str) else ""
-        s = s if isinstance(s, str) else ""
-        street = extract_street(
-            o,
-            p if isinstance(p, str) else None,
-            d if isinstance(d, str) else None,
-            w if isinstance(w, str) else None,
+        rows.append(
+            _street_and_entity(
+                o if isinstance(o, str) else "",
+                s if isinstance(s, str) else "",
+                p if isinstance(p, str) else None,
+                d if isinstance(d, str) else None,
+                w if isinstance(w, str) else None,
+            )
         )
-        street_toks = set(normalize_advanced(street).split()) if street else set()
-        seen: set[str] = set()
-        kept = []
-        for tok in s.split():
-            if tok in street_toks or tok in seen:
-                continue
-            seen.add(tok)
-            kept.append(tok)
-        entity_std = " ".join(kept)
-        if len(entity_std) < 2:
-            entity_std = s
-        rows.append((street, entity_std))
     return pd.DataFrame(rows, columns=["street_address", "entity_std"])
+
+
+# ---------------------------------------------------------------------------
+# Fused broadcast resolver: probe → top-K → Dice gate → score → argmax →
+# street, one Arrow node per DISTINCT mention.
+#
+# The gazetteer is a BROADCAST DIMENSION (38.7k nodes ≈ tens of MB with its
+# inverted index). The relational formulation shuffles corpus × catalog rows
+# (measured 28M candidate rows for 36k distinct mentions — ~90% of them
+# 1-shared-gram noise the Dice gate kills); at web scale that shuffle is the
+# whole job. Probing the broadcast index map-side keeps the resolve stage
+# embarrassingly parallel — exactly SURVEY §3.2's shape for the reference's
+# bulk pipeline — while remaining semantically IDENTICAL to the relational
+# operators (operators.parse block/gate/score/argmax, kept as the strategy
+# for catalogs too large to broadcast); tests assert output equality.
+# ---------------------------------------------------------------------------
+
+RESOLVE_SCHEMA = T.StructType(
+    [
+        T.StructField("node_id", T.LongType()),
+        T.StructField("level", T.StringType()),
+        T.StructField("is_new", T.BooleanType()),
+        T.StructField("province", T.StringType()),
+        T.StructField("district", T.StringType()),
+        T.StructField("ward", T.StringType()),
+        T.StructField("province_code", T.StringType()),
+        T.StructField("district_code", T.StringType()),
+        T.StructField("ward_code", T.StringType()),
+        T.StructField("cand_std", T.StringType()),
+        T.StructField("final_score", T.DoubleType()),
+        T.StructField("combined", T.DoubleType()),
+        T.StructField("dice", T.DoubleType()),
+        T.StructField("street_address", T.StringType()),
+        T.StructField("entity_std", T.StringType()),
+    ]
+)
+
+_RESOLVER_CACHE: dict[int, tuple] = {}
+_SCORE_MEMO_CAP = 2_000_000
+
+
+def build_resolver_state(nodes: list[dict]) -> dict:
+    """Driver-side: nodes → compact picklable resolve state: inverted gram
+    postings over the alias-union gram set (reference ``invert_ngrams_idx``),
+    per-node gram-set sizes (the reference's Dice denominator is the FULL
+    ``ngram_list``, inexus_parser.py:2824), per-node attribute tuples, and
+    the per-level alias→node invert maps used for detected-value validation
+    and the candidate-prioritization prefilter (:2836-2850)."""
+    from address_parser_spark.gazetteer.nodes import _augment_aliases
+    from address_parser_spark.textops.normalize import normalize_basic
+
+    from address_parser_spark.textops.ngrams import char_ngram_set
+
+    idx_all: dict[str, list[int]] = {}
+    idx_primary: dict[str, list[int]] = {}
+    n_primary: list[int] = []
+    attrs: list[tuple] = []
+    inv: dict[str, dict[str, list[int]]] = {"province": {}, "district": {}, "ward": {}}
+
+    def register(level: str, aliases: list[str], node_id: int) -> None:
+        for alias in aliases:
+            std = normalize_basic(alias)
+            if std:
+                postings = inv[level].setdefault(std, [])
+                if not postings or postings[-1] != node_id:
+                    postings.append(node_id)
+
+    for n in nodes:
+        nid = n["node_id"]
+        assert nid == len(attrs), "node_id must be dense and ordered"
+        primary = char_ngram_set(n["std_name"])
+        n_primary.append(len(primary))
+        for g in n["ngrams"]:
+            idx_all.setdefault(g, []).append(nid)
+            if g in primary:
+                idx_primary.setdefault(g, []).append(nid)
+        if n["province"]:
+            register("province",
+                     n.get("p_aliases") or _augment_aliases(n["province"], "province"), nid)
+        if n["district"]:
+            register("district",
+                     n.get("d_aliases") or _augment_aliases(n["district"], "district"), nid)
+        if n["ward"]:
+            register("ward",
+                     n.get("w_aliases") or _augment_aliases(n["ward"], "ward"), nid)
+        attrs.append(
+            (
+                n["level"], n["is_new"], n["province"], n["district"], n["ward"],
+                n["province_code"], n["district_code"], n["ward_code"],
+                n["p_std"], n["d_std"], n["w_std"], n["std_name"],
+            )
+        )
+    for level in inv:
+        for postings in inv[level].values():
+            postings.sort()
+    return {"idx_all": idx_all, "idx_primary": idx_primary,
+            "n_primary": n_primary, "attrs": attrs, "inv": inv}
+
+
+_REPAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("province", T.StringType()),
+        T.StructField("district", T.StringType()),
+        T.StructField("ward", T.StringType()),
+        T.StructField("province_code", T.StringType()),
+        T.StructField("district_code", T.StringType()),
+        T.StructField("ward_code", T.StringType()),
+        T.StructField("street_address", T.StringType()),
+        T.StructField("entity_std", T.StringType()),
+    ]
+)
+
+
+def make_repair_street_udf(repair_state: dict, spark=None):
+    """Standalone repair-cascade + street UDF for the RELATIONAL strategy
+    (the broadcast kernel fuses the same logic; outputs must stay identical —
+    tests assert strategy equality)."""
+    bc = spark.sparkContext.broadcast(repair_state) if spark is not None else None
+    local = repair_state if bc is None else None
+
+    def _get():
+        # Broadcast values are cached per worker by Spark itself; no extra
+        # process-level cache needed here.
+        return bc.value if bc is not None else local
+
+    @pandas_udf(_REPAIR_SCHEMA)
+    def repair_udf(
+        mention: pd.Series, std: pd.Series, std_basic: pd.Series,
+        det_p: pd.Series, det_d: pd.Series, det_w: pd.Series,
+        province: pd.Series, district: pd.Series, ward: pd.Series,
+        p_code: pd.Series, d_code: pd.Series, w_code: pd.Series,
+    ) -> pd.DataFrame:
+        from address_parser_spark.textops.repair import repair_components, validate_detected
+
+        st = _get()
+        rows = []
+        for m, s, sb, dp, dd, dw, p, d, w, pc, dc, wc in zip(
+            mention, std, std_basic, det_p, det_d, det_w,
+            province, district, ward, p_code, d_code, w_code,
+        ):
+            dp, dd, dw = validate_detected(st, dp, dd, dw)
+            p2, d2, w2, pc2, dc2, wc2 = repair_components(
+                st, p or "", d or "", w or "", dp, dd, dw,
+                sb if isinstance(sb, str) else "", pc, dc, wc,
+            )
+            p2, d2, w2 = p2 or None, d2 or None, w2 or None
+            street, entity_std = _street_and_entity(
+                m if isinstance(m, str) else "",
+                s if isinstance(s, str) else "", p2, d2, w2,
+            )
+            rows.append((p2, d2, w2, pc2, dc2, wc2, street, entity_std))
+        return pd.DataFrame(rows, columns=[f.name for f in _REPAIR_SCHEMA.fields])
+
+    return repair_udf
+
+
+def make_prioritized_udf(inv: dict, spark=None):
+    """(det_p, det_d, det_w, node_id) → candidate agrees with ALL detected
+    components (membership in the intersected alias posting sets — the
+    reference's ``_prefilter_by_prefix`` semantics, inexus_parser.py:2764-2794
+    applied at :2836-2850). Used by the relational strategy; the broadcast
+    kernel computes the same set inline."""
+    bc = spark.sparkContext.broadcast(inv) if spark is not None else None
+    local = inv if bc is None else None
+
+    @pandas_udf(T.BooleanType())
+    def prio_udf(det_p: pd.Series, det_d: pd.Series, det_w: pd.Series,
+                 node_id: pd.Series) -> pd.Series:
+        inv_maps = bc.value if bc is not None else local
+        cache: dict[tuple, frozenset | None] = {}
+        out = []
+        for dp, dd, dw, nid in zip(det_p, det_d, det_w, node_id):
+            key = (dp, dd, dw)
+            pf = cache.get(key, -1)
+            if pf == -1:
+                pf = None
+                if dw:
+                    pf = frozenset(inv_maps["ward"].get(dw, ()))
+                if dd:
+                    s2 = frozenset(inv_maps["district"].get(dd, ()))
+                    pf = s2 if pf is None else pf & s2
+                if dp:
+                    s3 = frozenset(inv_maps["province"].get(dp, ()))
+                    pf = s3 if pf is None else pf & s3
+                cache[key] = pf
+            out.append(bool(pf) and int(nid) in pf)
+        return pd.Series(out)
+
+    return prio_udf
+
+
+def make_resolve_udf(state: dict, spark=None,
+                     dice_gate: float = 0.4, topk: int = 400,
+                     score_slice: int = 120,
+                     repair_state: dict | None = None):
+    """Fused resolve kernel over the broadcast gazetteer state.
+
+    Per distinct mention (reference ``process()``, minus prefix detection
+    which rides in on the extract stage): counter probe of the inverted index
+    (inexus_parser.py:2670-2680), top-5 mass partial flag (:148-154), top-400
+    cap (:114, with the partial flag computed reference-style at extract
+    time — within-input gram multiplicity, :148-154), Dice ≥ 0.4 gate on
+    primary grams (:2824-2827), 120-candidate
+    score slice (:2878), blend + boosts (:2885-2912), lexicographic argmax
+    (:2926-2940), the component-repair cascade (:186-403, textops.repair —
+    when ``repair_state`` is provided), then street extraction on the
+    repaired components. Scores are memoized per worker process across
+    batches keyed on (std, cand_std, flag) — duplicate address strings across
+    the corpus pay once per worker."""
+    payload = {"resolve": state, "repair": repair_state}
+    bc = spark.sparkContext.broadcast(payload) if spark is not None else None
+    local = payload if bc is None else None
+
+    def _get_state():
+        raw = bc.value if bc is not None else local
+        key = id(raw)
+        hit = _RESOLVER_CACHE.get(key)
+        if hit is None:
+            _RESOLVER_CACHE.clear()
+            r = raw["resolve"]
+            hit = (r["idx_all"], r["idx_primary"], r["n_primary"], r["attrs"], r["inv"],
+                   raw["repair"], {}, {})
+            _RESOLVER_CACHE[key] = hit
+        return hit
+
+    @pandas_udf(RESOLVE_SCHEMA)
+    def resolve_udf(
+        mention: pd.Series, std: pd.Series, std_basic: pd.Series, grams: pd.Series,
+        det_p: pd.Series, det_d: pd.Series, det_w: pd.Series, partial: pd.Series,
+    ) -> pd.DataFrame:
+        idx_all, idx_primary, n_primary, attrs, inv, rep_st, score_memo, boost_memo = _get_state()
+        rows = [
+            resolve_one(
+                idx_all, idx_primary, n_primary, attrs, inv, rep_st,
+                score_memo, boost_memo,
+                m, s, sb, gs, dp, dd, dw, bool(pf),
+                dice_gate=dice_gate, topk=topk, score_slice=score_slice,
+            )
+            for m, s, sb, gs, dp, dd, dw, pf in zip(
+                mention, std, std_basic, grams, det_p, det_d, det_w, partial
+            )
+        ]
+        return pd.DataFrame(rows, columns=[f.name for f in RESOLVE_SCHEMA.fields])
+
+    return resolve_udf
+
+
+_NONE_ROW = (None,) * 15
+
+
+def resolve_one(idx_all, idx_primary, n_primary, attrs, inv, rep_st,
+                score_memo, boost_memo,
+                m, s, sb, gs, dp, dd, dw, partial_input: bool = False,
+                dice_gate: float = 0.4, topk: int = 400, score_slice: int = 120,
+                early_break: int = 200) -> tuple:
+    """One mention through probe → cap → gate → prioritize → score → argmax →
+    repair → street. Pure function shared by the Arrow kernel and
+    ``LocalParser`` (plans.local_parser); returns a RESOLVE_SCHEMA-shaped
+    tuple. Mirrors the reference ``address_candidate_list``
+    (inexus_parser.py:2796-2941): duplicate-counting candidate ranking, early
+    break at the first failing candidate past position 200, detected-component
+    prefilter reordering before the 120-candidate score slice. DELIBERATE
+    DEVIATION: the Dice gate runs over PRIMARY-form grams (std_name) rather
+    than the reference's alias-union ``ngram_list`` — digit wards/districts
+    carry 4×4 typed alias cross-products whose gram unions dilute the
+    denominator and gate exact matches out on street-heavy mentions
+    (validated: golden-450 accuracy stays ≥ the reference's, and the
+    synthetic-corpus F1 gate requires it)."""
+    from collections import Counter
+
+    from address_parser_spark.textops.repair import repair_components
+
+    if not isinstance(s, str) or gs is None or not len(gs):
+        return _NONE_ROW
+    # detected values must exist as alias keys at their level (reference
+    # _validate_detected_value, :1900-1905)
+    dp = dp if dp and dp in inv["province"] else None
+    dd = dd if dd and dd in inv["district"] else None
+    dw = dw if dw and dw in inv["ward"] else None
+    # ``gs`` is the RAW gram list (with duplicates): candidate RANKING counts
+    # every occurrence (reference ``ngram_address_piece_list`` consumes the
+    # list, :2670-2680) while the Dice intersection is over the DISTINCT set
+    # (:2812-2824) — both matter for which candidates reach the score slice.
+    c_rank: Counter = Counter()
+    for g in gs:
+        post = idx_all.get(g)
+        if post:
+            c_rank.update(post)
+    gset = set(gs)
+    c_prim: Counter = Counter()
+    for g in gset:
+        post = idx_primary.get(g)
+        if post:
+            c_prim.update(post)
+    ranked = sorted(c_rank.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_in = len(gset)
+
+    # Stage 1: Dice gate with the counter-order early break (:2814-2831)
+    filtered: list[tuple[int, float]] = []
+    index = 0
+    for nid, _cnt in ranked[:topk]:
+        index += 1
+        dice = 2.0 * c_prim[nid] / (n_in + n_primary[nid])
+        if dice >= dice_gate:
+            filtered.append((nid, dice))
+        elif index >= early_break:
+            break
+
+    # Prefilter reordering: candidates agreeing with ALL detected components
+    # move to the front (stable) before the score slice (:2836-2850) — this
+    # is semantic, not cosmetic, because of the 120 cap.
+    pf = None
+    if dw:
+        pf = set(inv["ward"].get(dw, ()))
+    if dd:
+        ds = set(inv["district"].get(dd, ()))
+        pf = ds if pf is None else pf & ds
+    if dp:
+        ps = set(inv["province"].get(dp, ()))
+        pf = ps if pf is None else pf & ps
+    if pf:
+        prioritized = [e for e in filtered if e[0] in pf]
+        if prioritized:
+            filtered = prioritized + [e for e in filtered if e[0] not in pf]
+
+    best = None
+    best_key = None
+    for nid, dice in filtered[:score_slice]:
+        (level, is_new, province, district, ward, p_code, d_code, w_code,
+         p_std, d_std, w_std, cand_std) = attrs[nid]
+        skey = (s, cand_std, partial_input)
+        scores = score_memo.get(skey)
+        if scores is None:
+            if len(score_memo) > _SCORE_MEMO_CAP:
+                score_memo.clear()
+            scores = _combined_score(s, cand_std, partial_input)
+            score_memo[skey] = scores
+        combined = scores[3]
+        bkey = (dp, dd, dw, p_std, d_std, w_std)
+        boost = boost_memo.get(bkey)
+        if boost is None:
+            boost = (
+                _component_boost(w_std, dw, 18.0, 12.0, -12.0)
+                + _component_boost(d_std, dd, 14.0, 9.0, -10.0)
+                + _component_boost(p_std, dp, 6.0, 3.5, -4.0)
+            )
+            boost_memo[bkey] = boost
+        comps = int(province is not None) + int(district is not None) + int(ward is not None)
+        has_ward = int(ward is not None)
+        final = combined + boost + comps * 1.5 + has_ward * 1.0 + dice * 10.0
+        key = (final, combined, comps, has_ward, len(cand_std), -nid)
+        if best_key is None or key > best_key:
+            best_key = key
+            best = (nid, level, is_new, province, district, ward,
+                    p_code, d_code, w_code, cand_std, final, combined, dice)
+    if best is None:
+        if rep_st is None:
+            return _NONE_ROW
+        best = (None,) * 13
+
+    nid, level, is_new, province, district, ward, p_code, d_code, w_code, \
+        cand_std, final, combined, dice = best
+    if rep_st is not None:
+        province, district, ward, p_code, d_code, w_code = repair_components(
+            rep_st, province or "", district or "", ward or "",
+            dp, dd, dw, sb if isinstance(sb, str) else "",
+            p_code, d_code, w_code,
+        )
+        province, district, ward = province or None, district or None, ward or None
+        if nid is None and not (province or district or ward):
+            return _NONE_ROW
+    street, entity_std = _street_and_entity(
+        m if isinstance(m, str) else "", s, province, district, ward
+    )
+    return (nid, level, is_new, province, district, ward,
+            p_code, d_code, w_code, cand_std, final, combined, dice,
+            street, entity_std)

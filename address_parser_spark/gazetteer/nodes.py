@@ -92,8 +92,42 @@ def _profile(
 
 
 def build_nodes(gaz: Gazetteer) -> list[dict]:
-    """Explode the catalog into match nodes (list of NODE_SCHEMA-shaped dicts)."""
+    """Explode the catalog into match nodes (list of NODE_SCHEMA-shaped dicts).
+
+    Province and ward alias lists are enriched with the NEW-format catalog's
+    ``name_en``/``full_name`` for the same code (the reference's
+    ``_reference_aliases_for_level``, inexus_parser.py:1790-1820 — looked up
+    by code string, collisions and all): the typed full names widen those
+    nodes' gram sets, which lowers their Dice and is part of the reference's
+    old-vs-new candidate balance."""
     nodes: list[dict] = []
+
+    new_p_by_code = {str(p.get("code")): p for p in gaz.new_provinces}
+    new_w_by_code = {str(w.get("code")): w for w in gaz.new_wards}
+
+    def _extras(level: str, code) -> list[str]:
+        if code is None:
+            return []
+        rec = (new_p_by_code if level == "province" else new_w_by_code).get(str(code))
+        if not rec:
+            return []
+        out: list[str] = []
+        for key in ("name_en", "full_name"):
+            value = rec.get(key)
+            if isinstance(value, str) and value and value not in out:
+                out.append(value)
+        return out
+
+    def _aliases(name: str, level: str, code) -> list[str]:
+        base = [name] + [x for x in _extras(level, code) if x != name]
+        seen: set[str] = set()
+        merged: list[str] = []
+        for alias in base:
+            for a in _augment_aliases(alias, level):
+                if a not in seen:
+                    merged.append(a)
+                    seen.add(a)
+        return merged
 
     def add(level, is_new, province, district, ward, p_code, d_code, w_code,
             p_aliases, d_aliases, w_aliases):
@@ -116,6 +150,12 @@ def build_nodes(gaz: Gazetteer) -> list[dict]:
                 "w_std": normalize_basic(ward) if ward else None,
                 "std_name": std_name,
                 "ngrams": grams,
+                # full alias lists per level — the invert maps register ALL of
+                # them (reference _register_node_aliases), incl. the
+                # new-format code-collision extras
+                "p_aliases": p_aliases,
+                "d_aliases": d_aliases,
+                "w_aliases": w_aliases,
             }
         )
 
@@ -128,14 +168,14 @@ def build_nodes(gaz: Gazetteer) -> list[dict]:
         wards_by_district.setdefault(w["district_code"], []).append(w)
 
     for p in gaz.old_provinces:
-        p_al = _augment_aliases(p["name"], "province")
+        p_al = _aliases(p["name"], "province", p.get("code"))
         add("P", False, p["name"], "", "", p["code"], None, None, p_al, [], [])
         for d in districts_by_province.get(p["code"], []):
-            d_al = _augment_aliases(d["name"], "district")
+            d_al = _aliases(d["name"], "district", None)
             add("D", False, "", d["name"], "", p["code"], d["code"], None, [], d_al, [])
             add("PD", False, p["name"], d["name"], "", p["code"], d["code"], None, p_al, d_al, [])
             for w in wards_by_district.get(d["code"], []):
-                w_al = _augment_aliases(w["name"], "ward")
+                w_al = _aliases(w["name"], "ward", w.get("code"))
                 add("W", False, "", "", w["name"], p["code"], d["code"], w["code"], [], [], w_al)
                 add("DW", False, "", d["name"], w["name"], p["code"], d["code"], w["code"], [], d_al, w_al)
                 add("PDW", False, p["name"], d["name"], w["name"], p["code"], d["code"], w["code"], p_al, d_al, w_al)
@@ -146,10 +186,10 @@ def build_nodes(gaz: Gazetteer) -> list[dict]:
         new_wards_by_province.setdefault(w["province_code"], []).append(w)
 
     for p in gaz.new_provinces:
-        p_al = _augment_aliases(p["name"], "province")
+        p_al = _aliases(p["name"], "province", p.get("code"))
         add("NP", True, p["name"], "", "", p["code"], None, None, p_al, [], [])
         for w in new_wards_by_province.get(p["code"], []):
-            w_al = _augment_aliases(w["name"], "ward")
+            w_al = _aliases(w["name"], "ward", w.get("code"))
             add("NW", True, "", "", w["name"], p["code"], None, w["code"], [], [], w_al)
             add("NPW", True, p["name"], "", w["name"], p["code"], None, w["code"], p_al, [], w_al)
 
@@ -198,19 +238,128 @@ def alias_registries(gaz: Gazetteer) -> dict[str, list[str]]:
     }
 
 
+def build_repair_state(gaz: Gazetteer, nodes: list[dict]) -> dict:
+    """Picklable state for the component-repair cascade (textops.repair):
+
+    - per-level alias→node-id invert maps over the AUGMENTED alias sets
+      (reference ``_register_node_aliases`` + ``_augment_aliases``,
+      inexus_parser.py:1834-1898) with deterministic (sorted) posting order;
+    - per-node (province, district, ward) display names;
+    - the lookup dicts behind ``_lookup_*_info`` (:2034-2116), built from the
+      catalog records in list order (old format first, new-format wards under
+      the empty-district sentinel, mirroring ``_normalize_address_dataset``'s
+      "" bucket, :1291-1303).
+    """
+    from address_parser_spark.textops.normalize import normalize_basic
+
+    inv: dict[str, dict[str, list[int]]] = {"province": {}, "district": {}, "ward": {}}
+    node_names: list[tuple] = []
+
+    def register(level: str, aliases: list[str], node_id: int) -> None:
+        for alias in aliases:
+            std = normalize_basic(alias)
+            if std:
+                postings = inv[level].setdefault(std, [])
+                if not postings or postings[-1] != node_id:
+                    postings.append(node_id)
+
+    for n in nodes:
+        assert n["node_id"] == len(node_names)
+        node_names.append((n["province"], n["district"], n["ward"]))
+        if n["province"]:
+            register("province",
+                     n.get("p_aliases") or _augment_aliases(n["province"], "province"),
+                     n["node_id"])
+        if n["district"]:
+            register("district",
+                     n.get("d_aliases") or _augment_aliases(n["district"], "district"),
+                     n["node_id"])
+        if n["ward"]:
+            register("ward",
+                     n.get("w_aliases") or _augment_aliases(n["ward"], "ward"),
+                     n["node_id"])
+    for level in inv:
+        for postings in inv[level].values():
+            postings.sort()
+
+    province_lookup: dict[str, dict] = {}
+    district_lookup: dict[tuple, dict] = {}
+    district_by_name: dict[str, list[dict]] = {}
+    ward_lookup: dict[tuple, dict] = {}
+    ward_by_province: dict[tuple, list[dict]] = {}
+    ward_by_district: dict[str, list[dict]] = {}
+    ward_by_name: dict[str, list[dict]] = {}
+
+    old_p_by_code = {p["code"]: p for p in gaz.old_provinces}
+    old_d_by_code = {d["code"]: d for d in gaz.old_districts}
+
+    for p in list(gaz.old_provinces) + list(gaz.new_provinces):
+        key = normalize_basic(p["name"])
+        if key:
+            province_lookup.setdefault(key, {"name": p["name"], "code": p["code"]})
+
+    for d in gaz.old_districts:
+        d_key = normalize_basic(d["name"])
+        if not d_key:
+            continue
+        parent = old_p_by_code.get(d["province_code"])
+        p_key = normalize_basic(parent["name"]) if parent else ""
+        entry = {"name": d["name"], "code": d["code"], "province_key": p_key}
+        district_lookup.setdefault((p_key, d_key), entry)
+        district_by_name.setdefault(d_key, []).append(entry)
+
+    def add_ward(name: str, code: str, p_key: str, d_key: str) -> None:
+        w_key = normalize_basic(name)
+        if not w_key:
+            return
+        entry = {"name": name, "code": code, "province_key": p_key, "district_key": d_key}
+        ward_lookup.setdefault((p_key, d_key, w_key), entry)
+        ward_by_province.setdefault((p_key, w_key), []).append(entry)
+        ward_by_district.setdefault(d_key, []).append(entry)
+        ward_by_name.setdefault(w_key, []).append(entry)
+
+    new_p_by_code = {p["code"]: p for p in gaz.new_provinces}
+    for w in gaz.old_wards:
+        parent_d = old_d_by_code.get(w["district_code"])
+        parent_p = old_p_by_code.get(parent_d["province_code"]) if parent_d else None
+        add_ward(
+            w["name"], w["code"],
+            normalize_basic(parent_p["name"]) if parent_p else "",
+            normalize_basic(parent_d["name"]) if parent_d else "",
+        )
+    for w in gaz.new_wards:
+        parent_p = new_p_by_code.get(w["province_code"])
+        add_ward(w["name"], w["code"],
+                 normalize_basic(parent_p["name"]) if parent_p else "", "")
+
+    return {
+        "inv": inv,
+        "node_names": node_names,
+        "province_names_std": sorted(inv["province"].keys()),
+        "province_lookup": province_lookup,
+        "district_lookup": district_lookup,
+        "district_by_name": district_by_name,
+        "ward_lookup": ward_lookup,
+        "ward_by_province": ward_by_province,
+        "ward_by_district": ward_by_district,
+        "ward_by_name": ward_by_name,
+    }
+
+
 INDEX_SCHEMA = "g string, node_id long, n_primary int, is_primary boolean"
 
 
 def ngram_index_df(nodes_df: DataFrame) -> DataFrame:
     """Inverted postings derived IN SPARK from the nodes DataFrame.
 
-    Same contract as ``ngram_index`` (alias-union postings flagged by
-    primary-form membership) but built with JVM columns — shipping a
-    driver-materialized posting list through ``createDataFrame`` costs tens of
-    seconds per job at 32 slices; deriving it from the (tiny) nodes frame is
-    free and broadcast-joins identically. The JVM n-gram builder
-    (``functions.columns.char_ngrams_col``) is byte-compatible with
-    ``textops.char_ngrams``.
+    Alias-union postings (recall: any typed/spoken variant retrieves the
+    node) flagged by primary-form membership: candidate RANKING counts all
+    postings, while the Dice gate runs over primary (std_name) grams — a
+    deliberate deviation from the reference's alias-union denominator (digit
+    wards' 4×4 typed alias cross-products would gate exact matches out; see
+    functions.udfs.resolve_one). Built with JVM columns — shipping a
+    driver-materialized posting list through ``createDataFrame`` costs tens
+    of seconds per job at 32 slices.
     """
     from pyspark.sql import functions as F
 
@@ -234,16 +383,8 @@ def ngram_index_df(nodes_df: DataFrame) -> DataFrame:
 
 
 def ngram_index(nodes: Iterable[dict]) -> list[tuple[str, int, int, bool]]:
-    """Inverted postings ``(ngram, node_id, n_primary, is_primary)``.
-
-    Postings span the full alias-union gram set (recall: any typed/spoken
-    variant can retrieve the node), but each posting is flagged whether the
-    gram belongs to the node's PRIMARY form (``std_name``). The Dice gate is
-    computed over primary grams only — alias unions (esp. digit wards with
-    ``phuong X / p X / ward X / w X`` forms) would otherwise dilute the
-    denominator and gate out exact matches. ``n_primary`` rides along so the
-    gate needs no second join.
-    """
+    """Inverted postings ``(ngram, node_id, n_primary, is_primary)`` —
+    python twin of ``ngram_index_df`` (same semantics, see its docstring)."""
     from address_parser_spark.textops.ngrams import char_ngram_set
 
     postings: list[tuple[str, int, int, bool]] = []

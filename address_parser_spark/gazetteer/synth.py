@@ -158,8 +158,13 @@ def synth_gazetteer(
 
     new_ward_seq = 0
     mapping_seq = 0
+    # New-format codes live in their own namespace (offset): the reference
+    # attaches new-format full_name/name_en aliases to OLD records by raw
+    # code-string collision, and with sequential codes on both sides every
+    # old record would inherit a random new record's aliases — far denser
+    # than the real catalog's occasional collisions.
     for np_idx, (np_name, old_group) in enumerate(merged, start=1):
-        np_code = f"{np_idx:02d}"
+        np_code = f"{np_idx + 50:02d}"
         is_city = np_name in (_HCM_PROVINCE, "Hà Nội", "Đà Nẵng")
         gaz.new_provinces.append(
             _record(np_code, np_name, "Thành phố" if is_city else "Tỉnh",
@@ -180,7 +185,7 @@ def synth_gazetteer(
         for j in range(0, len(member_wards), 2):
             group = member_wards[j : j + 2]
             new_ward_seq += 1
-            nw_code = f"{new_ward_seq:05d}"
+            nw_code = f"{new_ward_seq + 90000:05d}"
             nw_name = next(
                 (w["name"] for w in group if w["name"] not in used_new_names),
                 None,

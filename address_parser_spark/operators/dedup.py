@@ -82,22 +82,31 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
     the production/bench path (signatures differ but dedup semantics and the
     dataflow shape are identical)."""
     shingles = word_shingles_col(F.col(text_col), k)
-    # the permutation below pmods h into [0, P) first, so signed xxhash64
-    # values are handled identically to the unsigned md5-60 ints
-    hashed = F.transform(shingles, lambda s: _shingle_hash(s, fast_hash))
+    # Stage the hashed shingles as a REAL column: a Column is an expression
+    # tree, so embedding `hashed` directly in the 8 permutation structs would
+    # re-generate and re-hash the shingles 8× per row (this was the single
+    # slowest bench entry). pmod maps signed hashes into [0, P) so xxhash64
+    # and the unsigned md5-60 ints behave identically under the permutation.
+    staged = docs.withColumn(
+        "_sh_hashed",
+        F.transform(shingles, lambda s: F.pmod(_shingle_hash(s, fast_hash), F.lit(MINHASH_P))),
+    )
     per_perm = [
         F.struct(
             F.lit(j).alias("h_idx"),
             F.coalesce(
                 F.array_min(
-                    F.transform(hashed, lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(MINHASH_P)) + F.lit(b), F.lit(MINHASH_P)))
+                    F.transform(
+                        F.col("_sh_hashed"),
+                        lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)),
+                    )
                 ),
                 F.lit(MINHASH_P),
             ).alias("minhash"),
         )
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return docs.select("doc_id", F.explode(F.array(*per_perm)).alias("s")).select(
+    return staged.select("doc_id", F.explode(F.array(*per_perm)).alias("s")).select(
         "doc_id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash")
     )
 
@@ -206,15 +215,16 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     bucket = F.concat_ws(
         "", *[F.when(vec[i] >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bucket_dims)]
     )
-    e = embeddings.select("vec_id", vec.alias("v"), bucket.alias("bucket"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    # per-vector norm computed ONCE scan-side, not once per candidate pair
+    e = embeddings.select("vec_id", vec.alias("v"), bucket.alias("bucket")).withColumn("nrm", norm)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

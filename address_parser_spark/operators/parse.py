@@ -71,66 +71,115 @@ def extract_normalize(pages: DataFrame, registries: dict[str, list[str]] | None 
                 F.col("f.det_d").alias("det_d"),
                 F.col("f.det_w").alias("det_w"),
             ).alias("det"),
+            F.col("f.partial").alias("partial_flag"),
         )
-        .withColumn("grams", char_ngrams_col(F.col("std")))
-        .withColumn("n_in", F.size("grams"))
+        # RAW gram list (duplicates kept): ranking counts occurrences, Dice
+        # uses the distinct set (reference :2670-2680 vs :2812-2824)
+        .withColumn("grams", char_ngrams_col(F.col("std"), distinct=False))
+        .withColumn("n_in", F.size(F.array_distinct("grams")))
         .withColumn("mid", F.xxhash64("url", "mention"))
     )
 
 
 def block_candidates(mentions: DataFrame, index_df: DataFrame) -> DataFrame:
-    """Blocking join on the narrowest possible probe relation (mid, gram)."""
+    """Blocking join on the narrowest possible probe relation (mid, gram).
+
+    ``inter_rank`` counts every probe-gram occurrence (the reference ranks
+    candidates by the raw counter, inexus_parser.py:2670-2680); ``inter``
+    counts distinct shared grams (the Dice numerator, :2812-2824)."""
     probe = mentions.select("mid", F.explode("grams").alias("g"))
     return (
         probe.join(F.broadcast(index_df), "g")
         .groupBy("mid", "node_id")
         .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.sum(F.col("is_primary").cast("long")).alias("inter_primary"),
+            F.count(F.lit(1)).alias("inter_rank"),
+            F.count_distinct(F.when(F.col("is_primary"), F.col("g"))).alias("inter"),
             F.first("n_primary").alias("n_primary"),
         )
     )
 
 
-def _partial_flag() -> Column:
-    """Top-5 hit-mass heuristic (inexus_parser.py:148-154): when the five most
-    overlapping nodes absorb ≥12 distinct grams, the input is likely a
-    fragment → scorer leans on partial_ratio."""
-    top5 = F.slice(F.sort_array(F.collect_list("inter"), asc=False), 1, PARTIAL_MASS_TOP_N)
-    return (
-        F.aggregate(top5, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        >= PARTIAL_MASS_THRESHOLD
-    )
+EARLY_BREAK = 200  # reference scan break (inexus_parser.py:2829-2831)
 
 
-def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame) -> DataFrame:
-    """Dice gate → top-K cap → broadcast node attrs → Arrow scoring + boosts."""
-    flags = cands.groupBy("mid").agg(_partial_flag().alias("partial_input"))
+def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
+                     inv: dict | None = None) -> DataFrame:
+    """Dice gate (with the reference's early break) → prefilter prioritization
+    → 120-cap → broadcast node attrs → Arrow scoring + boosts.
 
+    ``inv`` is the per-level alias→node-ids invert map
+    (functions.udfs.build_resolver_state()["inv"]); when provided, candidates
+    agreeing with ALL detected components are prioritized before the
+    120-candidate slice exactly like the reference (:2836-2850)."""
     mention_attrs = mentions.select(
-        "mid", "url", "mention", "std", "n_in",
+        "mid", "mention", "std", "n_in",
         F.col("det.det_p").alias("det_p"),
         F.col("det.det_d").alias("det_d"),
         F.col("det.det_w").alias("det_w"),
+        F.col("partial_flag").alias("partial_input"),
     )
 
-    by_hits = Window.partitionBy("mid").orderBy(F.desc("inter"), F.asc("node_id"))
-    gated = (
+    by_hits = Window.partitionBy("mid").orderBy(F.desc("inter_rank"), F.asc("node_id"))
+    per_mid = Window.partitionBy("mid")
+    # The cap/gate window cascade runs on NARROW COLUMNS ONLY — at ~500
+    # candidates per mention the pre-cap relation is the biggest intermediate
+    # in the whole pipeline, and dragging mention/std strings through the
+    # window sorts multiplied shuffle+allocation volume ~6× (measured as GC
+    # stalls that starved the downstream Python workers). The wide attributes
+    # join AFTER the 120-cap, on ~2% of the rows.
+    gated_ids = (
         cands
-        .join(mention_attrs, "mid")
+        .join(
+            mention_attrs.select("mid", "n_in", "partial_input",
+                                 "det_p", "det_d", "det_w"),
+            "mid",
+        )
         # Pre-gate cap: the reference keeps only the 400 most-hit nodes from
         # the inverted-index counter BEFORE the Dice gate (inexus_parser.py
-        # :114, 2680) — this bounds per-mention fan-out when a gram-rich
-        # mention overlaps many nodes, which is exactly the blow-up mode at
-        # corpus scale. Deterministic tiebreak on node_id.
+        # :114, 2680). Deterministic tiebreak on node_id.
         .withColumn("rk_pre", F.row_number().over(by_hits))
         .filter(F.col("rk_pre") <= TOPK_CANDIDATES)
-        .withColumn("dice", dice_col(F.col("inter_primary"), F.col("n_in"), F.col("n_primary")))
-        .filter(F.col("dice") >= DICE_GATE)
-        .withColumn("rk", F.row_number().over(by_hits))
+        .withColumn("dice", dice_col(F.col("inter"), F.col("n_in"), F.col("n_primary")))
+        # Early break: the reference stops scanning at the first candidate
+        # FAILING the gate at position ≥ 200 (:2829-2831) — everything past
+        # that position is dropped, passing or not.
+        .withColumn(
+            "fail_cut",
+            F.min(
+                F.when(
+                    (F.col("dice") < DICE_GATE) & (F.col("rk_pre") >= EARLY_BREAK),
+                    F.col("rk_pre"),
+                )
+            ).over(per_mid),
+        )
+        .filter(
+            (F.col("dice") >= DICE_GATE)
+            & (F.col("fail_cut").isNull() | (F.col("rk_pre") < F.col("fail_cut")))
+        )
+    )
+    if inv is not None:
+        from address_parser_spark.functions.udfs import make_prioritized_udf
+
+        prio = make_prioritized_udf(inv, spark=cands.sparkSession)
+        gated_ids = gated_ids.withColumn(
+            "prio",
+            prio(F.col("det_p"), F.col("det_d"), F.col("det_w"), F.col("node_id")),
+        )
+    else:
+        gated_ids = gated_ids.withColumn("prio", F.lit(False))
+    gated_ids = (
+        gated_ids
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("mid").orderBy(F.desc("prio"), F.asc("rk_pre"))
+            ),
+        )
         .filter(F.col("rk") <= SCORE_CANDIDATES)
-        .drop("rk_pre", "rk")
-        .join(flags, "mid", "left")
+        .select("mid", "node_id", "inter", "dice", "partial_input")
+    )
+    gated = gated_ids.join(
+        mention_attrs.drop("n_in", "partial_input"), "mid"
     )
 
     node_side = F.broadcast(
@@ -186,11 +235,34 @@ def pick_winners(scored: DataFrame) -> DataFrame:
         scored.groupBy("mid")
         .agg(
             F.max_by(payload, order_key).alias("w"),
-            F.first("url").alias("url"),
             F.first("mention").alias("mention"),
             F.first("std").alias("std"),
         )
-        .select("mid", "url", "mention", "std", "w.*")
+        .select("mid", "mention", "std", "w.*")
+    )
+
+
+def _with_format_and_key(winners: DataFrame) -> DataFrame:
+    """Format tag + canonical entity key (pure column logic, shared by both
+    resolve strategies)."""
+    return (
+        winners
+        .withColumn(
+            "format",
+            F.when(F.col("is_new") == True, F.lit("new"))  # noqa: E712 (tri-state)
+            .when(F.col("is_new") == False, F.lit("old"))  # noqa: E712
+            .otherwise(F.lit("unknown")),
+        )
+        .withColumn(
+            "entity_key",
+            F.concat_ws(
+                "|",
+                F.coalesce("province_code", F.lit("")),
+                F.coalesce("district_code", F.lit("")),
+                F.coalesce("ward_code", F.lit("")),
+                F.coalesce(F.col("is_new").cast("string"), F.lit("unknown")),
+            ),
+        )
     )
 
 
@@ -203,7 +275,7 @@ def attach_street(winners: DataFrame) -> DataFrame:
     land in the same block); computed as a JVM array_except, no extra UDF pass
     beyond normalizing the extracted street.
     """
-    return (
+    return _with_format_and_key(
         winners
         .withColumn(
             "se",
@@ -215,17 +287,6 @@ def attach_street(winners: DataFrame) -> DataFrame:
         .withColumn("street_address", F.col("se.street_address"))
         .withColumn("entity_std", F.col("se.entity_std"))
         .drop("se")
-        .withColumn("format", F.when(F.col("is_new"), F.lit("new")).otherwise(F.lit("old")))
-        .withColumn(
-            "entity_key",
-            F.concat_ws(
-                "|",
-                F.coalesce("province_code", F.lit("")),
-                F.coalesce("district_code", F.lit("")),
-                F.coalesce("ward_code", F.lit("")),
-                F.col("is_new").cast("string"),
-            ),
-        )
     )
 
 
@@ -235,24 +296,146 @@ def resolve_mentions(
     index_df: DataFrame,
     registries: dict[str, list[str]] | None = None,
     persist_intermediates: bool = True,
+    strategy: str = "broadcast",
+    nodes: list[dict] | None = None,
+    repair_state: dict | None = None,
 ) -> DataFrame:
-    """Full extract → block → gate → score → argmax → street pipeline.
+    """Full extract → dedup → resolve (block/gate/score/argmax/street)
+    pipeline; winners joined back onto the (url, mention) fact rows.
 
-    ``mentions`` feeds both the blocking probe and the attribute join, and
-    ``cands`` feeds both the partial-flag agg and the gate — without explicit
-    materialization Catalyst re-executes the extraction/detection UDF stage
-    and the blocking join once per consumer (plan-level common subexpressions
-    are not shared across branches). ``localCheckpoint`` is used instead of
-    ``persist``: it materializes AND truncates the plan, keeping downstream
-    analysis cheap and the CacheManager registry empty (big cached plans make
-    every later query pay plan-canonicalization time on the driver). The
-    buffers are mention-sized, not corpus-sized.
+    **Distinct-mention resolution.** The entire resolve is a pure function of
+    the mention TEXT (the reference's ``process()`` is a per-string function,
+    inexus_parser.py:133), so the expensive stages run once per DISTINCT
+    mention. On web corpora the same address string repeats across pages
+    (boilerplate footers, mirrored listings); the back-join keys on the raw
+    string (collision-proof).
+
+    **Strategies** (same output, asserted equal in tests):
+
+    - ``broadcast`` (default): the gazetteer + inverted index is a BROADCAST
+      DIMENSION (tens of MB); one fused Arrow kernel per distinct mention
+      probes it map-side (functions.udfs.make_resolve_udf). Zero shuffles
+      between extraction and the fact join — the shape SURVEY §3.2 calls
+      "embarrassingly parallel". The relational form shuffled corpus×catalog
+      candidate rows (~90% 1-shared-gram noise, measured 28M rows for 36k
+      mentions) through a groupBy and three window passes.
+    - ``relational``: blocking equi-join against the exploded posting index +
+      JVM Dice gate + windowed caps + scoring UDF + max_by argmax. The right
+      strategy when the reference catalog is too large to broadcast.
+
+    ``mentions`` feeds both the distinct projection and the final fact join —
+    checkpointed EAGERLY: AQE runs query-stage futures concurrently, and a
+    lazy checkpoint referenced by several in-flight futures is recomputed by
+    each of them (measured: the extract UDF chain re-executing up to 4× with
+    AQE-dependent variance).
     """
     mentions = extract_normalize(pages, registries)
     if persist_intermediates:
         mentions = mentions.localCheckpoint(eager=True)
-    cands = block_candidates(mentions, index_df)
-    if persist_intermediates:
-        cands = cands.localCheckpoint(eager=True)
-    scored = score_candidates(cands, mentions, nodes_df)
-    return attach_street(pick_winners(scored))
+
+    uniq = (
+        mentions
+        .dropDuplicates(["mention"])
+        .select(
+            F.xxhash64("mention").alias("mid"),
+            "mention", "std", "std_basic", "det", "grams", "n_in", "partial_flag",
+        )
+    )
+    spark = pages.sparkSession
+
+    if nodes is None:
+        nodes = [r.asDict() for r in nodes_df.collect()]
+
+    if strategy == "broadcast":
+        from address_parser_spark.functions.udfs import build_resolver_state, make_resolve_udf
+
+        resolve = make_resolve_udf(
+            build_resolver_state(nodes), spark=spark, repair_state=repair_state
+        )
+        winners = (
+            uniq
+            # Distinct mentions sharing a normalized std (street-level
+            # variants of one entity) score against the same candidates; the
+            # kernel memoizes (std, cand_std) per worker process, so
+            # co-locating equal stds makes the memo hit rate match a global
+            # memo (measured 1.75×→~6× effective speedup at 8 workers).
+            # EXPLICIT partition count: this stage is python-CPU-bound but
+            # tiny in bytes — AQE's byte-driven coalescing would serialize it
+            # (an explicit repartition count is never AQE-coalesced).
+            .repartition(2 * spark.sparkContext.defaultParallelism, F.col("std"))
+            .withColumn(
+                "w",
+                resolve(
+                    F.col("mention"), F.col("std"), F.col("std_basic"), F.col("grams"),
+                    F.col("det.det_p"), F.col("det.det_d"), F.col("det.det_w"),
+                    F.coalesce("partial_flag", F.lit(False)),
+                ),
+            )
+            .filter(
+                F.col("w.node_id").isNotNull()
+                | F.col("w.province").isNotNull()
+                | F.col("w.district").isNotNull()
+                | F.col("w.ward").isNotNull()
+            )
+            .select("mention", "std", "w.*")
+        )
+        winners = _with_format_and_key(winners)
+        if persist_intermediates:
+            # Isolate the python-CPU-bound kernel into its own job: embedded
+            # in the fact-join plan it inherits that plan's (byte-driven)
+            # parallelism decisions — measured 52s vs 11s for the identical
+            # kernel at local[32]. The frame is distinct-mention-sized.
+            winners = winners.localCheckpoint(eager=True)
+    else:
+        from address_parser_spark.functions.udfs import build_resolver_state
+
+        if persist_intermediates:
+            uniq = uniq.localCheckpoint(eager=True)
+        inv = build_resolver_state(nodes)["inv"]
+        cands = block_candidates(uniq, index_df)
+        scored = score_candidates(cands, uniq, nodes_df, inv=inv)
+        if repair_state is None:
+            winners = attach_street(pick_winners(scored)).drop("mid")
+        else:
+            from address_parser_spark.functions.udfs import make_repair_street_udf
+
+            repair = make_repair_street_udf(repair_state, spark=spark)
+            extras = uniq.select(
+                "mention", "std_basic",
+                F.col("det.det_p").alias("det_p"),
+                F.col("det.det_d").alias("det_d"),
+                F.col("det.det_w").alias("det_w"),
+            )
+            # LEFT join: mentions with no surviving candidate still run the
+            # cascade from an empty winner (reference process() starts from
+            # an empty AddressNode) — exact parity with the fused kernel.
+            joined = extras.join(
+                pick_winners(scored).drop("mid", "std"), "mention", "left"
+            ).join(uniq.select("mention", "std"), "mention")
+            repaired = joined.withColumn(
+                "rs",
+                repair(
+                    F.col("mention"), F.col("std"), F.col("std_basic"),
+                    F.col("det_p"), F.col("det_d"), F.col("det_w"),
+                    F.col("province"), F.col("district"), F.col("ward"),
+                    F.col("province_code"), F.col("district_code"), F.col("ward_code"),
+                ),
+            )
+            winners = (
+                repaired
+                .drop("province", "district", "ward",
+                      "province_code", "district_code", "ward_code",
+                      "std_basic", "det_p", "det_d", "det_w")
+                .select("*", "rs.*")
+                .drop("rs")
+                .filter(
+                    F.col("node_id").isNotNull()
+                    | F.col("province").isNotNull()
+                    | F.col("district").isNotNull()
+                    | F.col("ward").isNotNull()
+                )
+            )
+            winners = _with_format_and_key(winners)
+
+    fact = mentions.select("mid", "url", "mention")
+    return fact.join(winners, "mention")

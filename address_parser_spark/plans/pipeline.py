@@ -84,10 +84,13 @@ def run_pipeline(
 ) -> DataFrame:
     """pages → clustered mentions (mid, url, mention, std, parsed components,
     street_address, format, entity_key, cluster_id, new_ward_code/-name)."""
+    from address_parser_spark.gazetteer.nodes import build_repair_state
+
     nodes = build_nodes(gaz)
     nodes_df = nodes_to_spark(spark, nodes)
     index_df = ngram_index_df(nodes_df)
     registries = alias_registries(gaz)
+    repair_state = build_repair_state(gaz, nodes)
 
     def stage(name: str, build, partition_by=None, multi_consumer: bool = True) -> DataFrame:
         """Materialize each multi-consumer stage exactly once: durable
@@ -104,10 +107,24 @@ def run_pipeline(
             # UDF-heavy plans make every subsequent query pay driver-side plan
             # canonicalization against the cache registry (measured ~20 s per
             # stage once a few big plans were cached).
+            #
+            # eager=True is LOAD-BEARING: AQE materializes query stages as
+            # concurrent futures, and a lazy checkpoint referenced by several
+            # in-flight futures is recomputed by EACH of them (no
+            # synchronization on the first materialization) — measured as the
+            # whole UDF/window chain re-executing up to 4× with run-to-run
+            # AQE-dependent variance. The eager barrier costs one job of
+            # straggler idle time; the duplicate compute costs minutes.
             return build().localCheckpoint(eager=True)
         return store.run_stage(name, build, partition_by=partition_by)
 
-    resolved = stage("resolved", lambda: resolve_mentions(pages, nodes_df, index_df, registries))
+    resolved = stage(
+        "resolved",
+        lambda: resolve_mentions(
+            pages, nodes_df, index_df, registries,
+            nodes=nodes, repair_state=repair_state,
+        ),
+    )
     keyed = stage("keyed", lambda: with_blocking_keys(resolved))
     edges = stage(
         "edges",

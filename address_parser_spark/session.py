@@ -15,23 +15,52 @@ from pyspark.sql import SparkSession
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE sizes post-shuffle partitions by BYTES; stages whose per-row cost is
+    # python-UDF-bound (pair scoring) or expression-bound (30 minhash lambdas)
+    # are tiny in bytes but huge in CPU. The default 1m floor collapsed the
+    # argmax output to 2 partitions and serialized every downstream stage
+    # (measured: blocking-keys stage 10s→49s when 32-core). A 64k floor keeps
+    # CPU-heavy small-byte stages wide while still merging true slivers.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.driver.memory": "8g",
+    "spark.driver.memory": "16g",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }
 
 
+def _master_cores(master: str) -> int | None:
+    if master.startswith("local["):
+        spec = master[len("local["):-1]
+        if spec == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(spec)
+        except ValueError:
+            return None
+    return None
+
+
 def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    resolved_master = master or f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or f"local[{cpus}]")
-    for key, value in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+    builder = builder.master(resolved_master)
+    confs = dict(DEFAULT_CONFS)
+    # Shuffle partitions scale with the session's parallelism (4× cores, ≥32):
+    # a fixed count leaves 4N-core runs with N-core-sized task grain, which is
+    # the textbook serial-fraction cap. On a real cluster this is the
+    # spark-submit conf; locally it tracks local[N].
+    cores = _master_cores(resolved_master)
+    if cores:
+        confs["spark.sql.shuffle.partitions"] = str(max(4 * cores, 32))
+    else:
+        confs["spark.sql.shuffle.partitions"] = "32"
+    for key, value in {**confs, **(extra_confs or {})}.items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

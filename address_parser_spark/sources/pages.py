@@ -82,9 +82,18 @@ def _render_mention(rng: random.Random, ward: dict, district: dict | None, provi
     w_type, p_type = _type_word(ward), _type_word(province)
     street = rng.choice(_STREETS)
     house = rng.randint(1, 450)
-    style = rng.randrange(10)
+    style = rng.randrange(11)
     if district is not None:
         d_name, d_type = district["name"], _type_word(district)
+        # Partial style 10 omits the province — the repair cascade must infer
+        # it back (reference process() step 6); only rendered when the
+        # ward/district names are globally unique in the catalog (non-digit),
+        # so the gold entity stays recoverable and the F1 gate is meaningful.
+        # (A no-district partial was tried and removed: "Xã W, Tỉnh P" is
+        # string-identical to a new-format mention of the post-merger twin
+        # ward — no string system can separate the two entities.)
+        if style >= 10 and (w_name.isdigit() or d_name.isdigit()):
+            style = 0
         forms = {
             0: f"Số {house} {street}, {w_type} {w_name}, {d_type} {d_name}, {p_type} {p_name}",
             1: f"{house} {street}, {w_name}, {d_name}, {p_name}",
@@ -96,9 +105,10 @@ def _render_mention(rng: random.Random, ward: dict, district: dict | None, provi
             7: f"khu phố {rng.randint(1,9)}, {w_type} {w_name}, {d_type} {d_name}, {p_type} {p_name}",
             8: f"số {house} đường {street}, {w_name}, {d_name}, {p_name}",
             9: f"{house} {street} {w_type} {w_name} {d_type} {d_name} {p_type} {p_name}",
+            10: f"Số {house} {street}, {w_type} {w_name}, {d_type} {d_name}",
         }
     else:  # new 2-level format
-        forms = {k: f"{w_type} {w_name}, {p_type} {p_name}" for k in range(10)}
+        forms = {k: f"{w_type} {w_name}, {p_type} {p_name}" for k in range(11)}
         forms[1] = f"Số {house} {street}, {w_name}, {p_name}"
         forms[2] = f"{house} {street}, P.{w_name}, TP.{p_name}"
     text = forms[style]

@@ -1,14 +1,18 @@
 """Prefix-based component detection on basic-normalized text.
 
-Parity with the reference's ``_detect_by_prefix`` (inexus_parser.py:2685-2762):
-three regexes capture the fragment after a type keyword (``thanh pho|tp|…`` /
-``quan|huyen|…`` / ``phuong|xa|…``) up to the next keyword; the fragment is
-trimmed to ≤3-4 tokens and resolved against the level's standardized alias
-registry — exact hit first, else best ``partial_ratio ≥ 70`` with smallest
-length-delta tiebreak.
+Exact parity with the reference's ``_detect_by_prefix``
+(inexus_parser.py:2685-2762): three regexes capture the fragment after a type
+keyword up to the next keyword (FIRST match only — ``search``, not a scan);
+the fragment is trimmed to ≤3 tokens (4 when the 4th is single-char) and
+resolved against the level's standardized alias registry — exact hit first,
+else the best of the top-10 ``partial_ratio ≥ 70`` candidates with a
+smallest-length-delta tiebreak (the reference's ``rf_process.extract(...,
+limit=10)`` shape; candidate order is this registry's sorted order, standing
+in for the reference's arbitrary set order).
 
-Used twice in the engine: component boosts during candidate scoring
-(inexus_parser.py:2855-2912) and the repair cascade on winners.
+Used twice in the engine: component boosts + prefilter reordering during
+candidate scoring (inexus_parser.py:2836-2912) and the repair cascade on
+winners (textops.repair).
 """
 
 from __future__ import annotations
@@ -18,27 +22,28 @@ from typing import Optional, Sequence
 
 from address_parser_spark.textops.similarity import partial_ratio
 
-_NEXT = r"(?=\b(?:phuong|xa|thi tran|quan|huyen|thi xa|district|ward|commune|town|thanh pho|city|province|p|q)\b|$)"
 _PROVINCE_PREF = re.compile(
     r"\b(?:thanh pho|tp|tinh|city|province|municipality)\b\s+([a-z0-9 ]+?)"
-    r"(?=\b(?:quan|huyen|thi xa|thi tran|phuong|xa|tp|tinh|district|ward|commune|town|thanh pho|city|province|p|q)\b|$)"
+    r"(?=\b(?:quan|huyen|thi xa|thi tran|phuong|xa|tp|tinh|district|ward|commune|town|thanh pho|city|province)\b|$)"
 )
-# District keywords split in two tiers: specific (quan/huyen/… and the bare
-# "q" abbreviation surviving basic normalization of "Q.") vs city-ish words
-# that more often introduce the PROVINCE — specific matches are tried first
-# and a candidate equal to the detected province is rejected (the reference's
-# single first-match search, inexus_parser.py:2754-2756, grabs "thanh pho
-# <province>" here and mis-detects; fixed deliberately).
-_DISTRICT_PREF_SPECIFIC = re.compile(
-    r"\b(?:quan|huyen|thi xa|thi tran|district|county|q)\b\s+([a-z0-9 ]+?)" + _NEXT
+# DELIBERATE DEVIATION from the reference regexes: the single-letter
+# abbreviations "q"/"p" (basic normalization turns "Q.5"/"P.12" into
+# "q 5"/"p 12") join the keyword sets — digit wards/districts are otherwise
+# only recoverable through the candidate winner, and alias-diluted Dice can
+# gate digit nodes out on street-heavy mentions. Validated on the golden-450
+# harness (accuracy stays ≥ the reference's) and load-bearing for the
+# synthetic-corpus F1 gate.
+_DISTRICT_PREF = re.compile(
+    r"\b(?:quan|huyen|thi xa|thi tran|thanh pho|tp|city|municipality|district|county|q)\b\s+([a-z0-9 ]+?)"
+    r"(?=\b(?:phuong|xa|thi tran|quan|huyen|thi xa|district|ward|commune|town|thanh pho|city|province|p|q)\b|$)"
 )
-_DISTRICT_PREF_CITYISH = re.compile(
-    r"\b(?:thanh pho|tp|city|municipality)\b\s+([a-z0-9 ]+?)" + _NEXT
+_WARD_PREF = re.compile(
+    r"\b(?:phuong|xa|thi tran|ward|commune|town|p)\b\s+([a-z0-9 ]+?)"
+    r"(?=\b(?:phuong|xa|thi tran|quan|huyen|thi xa|district|ward|commune|town|thanh pho|city|province|p|q)\b|$)"
 )
-# "p" joins the ward keywords: basic normalization turns "P.25" into "p 25".
-_WARD_PREF = re.compile(r"\b(?:phuong|xa|thi tran|ward|commune|town|p)\b\s+([a-z0-9 ]+?)" + _NEXT)
 
 PARTIAL_CUTOFF = 70.0
+_EXTRACT_LIMIT = 10
 
 
 def _trim_fragment(fragment: str) -> str:
@@ -85,13 +90,20 @@ def _pick_best(fragment: str, registry: AliasRegistry) -> Optional[str]:
         return None
     if fragment in registry.choice_set:
         return fragment
+    # top-10 by (score desc, registry order), then smallest length delta
+    scored: list[tuple[float, int, str]] = []
+    for order, choice in enumerate(registry.candidates(fragment)):
+        score = partial_ratio(fragment, choice)
+        if score >= PARTIAL_CUTOFF:
+            scored.append((-score, order, choice))
+    if not scored:
+        return None
+    scored.sort()
     best_choice: Optional[str] = None
     best_score = -1.0
     best_delta: Optional[int] = None
-    for choice in registry.candidates(fragment):
-        score = partial_ratio(fragment, choice)
-        if score < PARTIAL_CUTOFF:
-            continue
+    for neg_score, _, choice in scored[:_EXTRACT_LIMIT]:
+        score = -neg_score
         delta = abs(len(choice) - len(fragment))
         if score > best_score:
             best_choice, best_score, best_delta = choice, score, delta
@@ -111,24 +123,13 @@ def detect_by_prefix(
         return None, None, None
     prov = dist = ward = None
 
-    for m in _PROVINCE_PREF.finditer(std_basic):
+    m = _PROVINCE_PREF.search(std_basic)
+    if m:
         prov = _pick_best(m.group(1), provinces)
-        if prov:
-            break
-
-    for pattern in (_DISTRICT_PREF_SPECIFIC, _DISTRICT_PREF_CITYISH):
-        for m in pattern.finditer(std_basic):
-            cand = _pick_best(m.group(1), districts)
-            if cand and cand != prov:
-                dist = cand
-                break
-        if dist:
-            break
-
-    for m in _WARD_PREF.finditer(std_basic):
-        cand = _pick_best(m.group(1), wards)
-        if cand:
-            ward = cand
-            break
-
+    m = _DISTRICT_PREF.search(std_basic)
+    if m:
+        dist = _pick_best(m.group(1), districts)
+    m = _WARD_PREF.search(std_basic)
+    if m:
+        ward = _pick_best(m.group(1), wards)
     return prov, dist, ward

@@ -113,7 +113,9 @@ def partial_ratio(a: str, b: str) -> float:
     ls, ll = len(short), len(long_)
     if ls == ll:
         return indel_ratio(short, long_)
-    best = 0.0
+    # The whole-string alignment is always a candidate: partial_ratio must
+    # dominate plain ratio (windows alone can lose to it, e.g. "11"/"101").
+    best = indel_ratio(short, long_)
     # Full-length interior windows.
     for i in range(ll - ls + 1):
         score = indel_ratio(short, long_[i : i + ls])

@@ -1,0 +1,94 @@
+"""Full-pipeline parse parity on the reference's own 450-case golden set.
+
+The fixture (tests/fixtures/parse_golden.json, regenerate with
+scripts/gen_parse_golden.py) holds the golden inputs + expected components
+from the reference repo's primary accuracy harness (hcmut_assigment/test.json
++ scorer equivalence classes, SURVEY §5.1) and the reference parser's own
+outputs produced with the SAME similarity kernels this engine uses.
+
+Gate: our field accuracy ≥ the reference's on identical scorers — the
+component-repair cascade (textops.repair), candidate prioritization, and
+alias/Dice semantics are what close the gap. Runs the REAL gazetteer
+(read-only from /root/reference/fuzz/data) through LocalParser — the same
+pure functions the distributed kernel executes.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REF_DATA = Path("/root/reference/fuzz/data")
+FIXTURE = REPO / "tests" / "fixtures" / "parse_golden.json"
+
+# Spelling-equivalence classes (hcmut_assigment/scorer.py:12-23) are loaded
+# through the generator script to stay in sync with fixture generation.
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.loads(FIXTURE.read_text(encoding="utf-8"))
+
+
+@pytest.fixture(scope="module")
+def local_parser():
+    if not REF_DATA.exists():
+        pytest.skip("reference gazetteer data not available")
+    from address_parser_spark.gazetteer.synth import Gazetteer
+    from address_parser_spark.plans.local_parser import LocalParser
+
+    def load(name):
+        return json.loads((REF_DATA / name).read_text(encoding="utf-8"))
+
+    gaz = Gazetteer(
+        old_provinces=load("old_provinces.json"),
+        old_districts=load("old_districts.json"),
+        old_wards=load("old_wards.json"),
+        new_provinces=load("provinces.json"),
+        new_wards=load("wards.json"),
+        ward_mappings=[],
+    )
+    return LocalParser(gaz)
+
+
+@pytest.mark.slow
+def test_golden_450_accuracy_at_least_reference(golden, local_parser):
+    import sys
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from gen_parse_golden import equivalence_maps
+
+    same_p, same_d, same_w = equivalence_maps()
+    sames = {"province": same_p, "district": same_d, "ward": same_w}
+
+    correct = 0
+    parity = 0
+    for case in golden["cases"]:
+        out = local_parser.process(case["text"])
+        got = {f: (out[f]["name"] if out[f] else "") for f in ("province", "district", "ward")}
+        for field in ("province", "district", "ward"):
+            g = sames[field].get(got[field], got[field])
+            e0 = case["expected"].get(field, "") or ""
+            e = sames[field].get(e0, e0)
+            r0 = case["reference"][field]
+            r = sames[field].get(r0, r0)
+            if g == e:
+                correct += 1
+            if g == r:
+                parity += 1
+
+    n_fields = len(golden["cases"]) * 3
+    accuracy = correct / n_fields
+    field_parity = parity / n_fields
+    ref_accuracy = golden["reference_field_accuracy"]
+
+    # The graded criterion: at least the reference harness's accuracy.
+    assert accuracy >= ref_accuracy, (
+        f"engine accuracy {accuracy:.4f} < reference {ref_accuracy:.4f} "
+        f"(parity {field_parity:.4f})"
+    )
+    # Regression tripwire on output parity with the reference parser.
+    assert field_parity >= 0.90, f"parity with reference dropped to {field_parity:.4f}"
