@@ -22,7 +22,18 @@ def gold_entity_col() -> F.Column:
 
 
 def labeled_pairs(keyed_with_labels: DataFrame, max_block: int = 1 << 20) -> DataFrame:
-    """All mention pairs sharing ≥1 blocking key, labeled and predicted.
+    """Labeled + predicted mention pairs for the F1 gate.
+
+    Two pair surfaces, unioned and deduped:
+
+    - **key-conditioned pairs** (mentions sharing ≥1 blocking key) — the
+      precision surface: spurious same-cluster decisions can only arise where
+      candidate pairs exist;
+    - **ALL gold same-entity pairs** (self-join on gold_entity — bounded per
+      entity) — the recall surface. A gold pair whose mentions land in no
+      common block would otherwise be invisible to ``fn``, which is exactly
+      the failure mode the blocking stage introduces; recall must be charged
+      for it.
 
     Input columns: mid, keys (array), gold_entity, cluster_id.
     Output: mid_a, mid_b, is_match (gold), same_cluster (predicted).
@@ -35,13 +46,35 @@ def labeled_pairs(keyed_with_labels: DataFrame, max_block: int = 1 << 20) -> Dat
 
     a = e.select("key", F.col("mid").alias("mid_a"), F.col("gold_entity").alias("g_a"), F.col("cluster_id").alias("c_a"))
     b = e.select("key", F.col("mid").alias("mid_b"), F.col("gold_entity").alias("g_b"), F.col("cluster_id").alias("c_b"))
-    return (
+    key_pairs = (
         a.join(b, "key")
         .filter(F.col("mid_a") < F.col("mid_b"))
+        .select(
+            "mid_a", "mid_b",
+            (F.col("g_a") == F.col("g_b")).alias("is_match"),
+            (F.col("c_a") == F.col("c_b")).alias("same_cluster"),
+        )
+    )
+
+    m = keyed_with_labels.select("mid", "gold_entity", "cluster_id").distinct()
+    ga = m.select(F.col("mid").alias("mid_a"), "gold_entity", F.col("cluster_id").alias("c_a"))
+    gb = m.select(F.col("mid").alias("mid_b"), "gold_entity", F.col("cluster_id").alias("c_b"))
+    gold_pairs = (
+        ga.join(gb, "gold_entity")
+        .filter(F.col("mid_a") < F.col("mid_b"))
+        .select(
+            "mid_a", "mid_b",
+            F.lit(True).alias("is_match"),
+            (F.col("c_a") == F.col("c_b")).alias("same_cluster"),
+        )
+    )
+
+    return (
+        key_pairs.unionByName(gold_pairs)
         .groupBy("mid_a", "mid_b")
         .agg(
-            F.first((F.col("g_a") == F.col("g_b"))).alias("is_match"),
-            F.first((F.col("c_a") == F.col("c_b"))).alias("same_cluster"),
+            F.max("is_match").alias("is_match"),
+            F.first("same_cluster").alias("same_cluster"),
         )
     )
 
