@@ -52,7 +52,37 @@ _DETECT_SCHEMA = T.StructType(
 )
 
 
-_REGISTRY_CACHE: dict[int, tuple] = {}
+_REGISTRY_CACHE: dict[str, tuple] = {}
+
+
+def _registry_udf_payload(registries: dict, spark):
+    """(broadcast-or-local payload, getter) for alias-registry UDFs — token-
+    keyed worker cache, same rationale as the resolver cache."""
+    import uuid
+
+    from address_parser_spark.textops.detect import AliasRegistry
+
+    payload = {"token": uuid.uuid4().hex, "regs": registries}
+    bc = spark.sparkContext.broadcast(payload) if spark is not None else None
+    local = payload if bc is None else None
+
+    def _get_regs():
+        raw = bc.value if bc is not None else local
+        key = raw["token"]
+        hit = _REGISTRY_CACHE.get(key)
+        if hit is None:
+            if len(_REGISTRY_CACHE) >= 4:
+                _REGISTRY_CACHE.clear()
+            regs = raw["regs"]
+            hit = (
+                AliasRegistry(regs["province"]),
+                AliasRegistry(regs["district"]),
+                AliasRegistry(regs["ward"]),
+            )
+            _REGISTRY_CACHE[key] = hit
+        return hit
+
+    return _get_regs
 
 _FEATURES_SCHEMA = T.ArrayType(
     T.StructType(
@@ -93,26 +123,11 @@ def make_extract_features_udf(registries: dict[str, list[str]], spark=None):
     64-partition run spent ~25s spawning/importing ~128 workers). One fused
     UDF keeps it at one worker per task slot and one Arrow round-trip.
     """
-    from address_parser_spark.textops.detect import AliasRegistry, detect_by_prefix
+    from address_parser_spark.textops.detect import detect_by_prefix
     from address_parser_spark.textops.extract import extract_mentions
     from address_parser_spark.textops.normalize import normalize_advanced, normalize_basic
 
-    bc = spark.sparkContext.broadcast(registries) if spark is not None else None
-    local = registries if bc is None else None
-
-    def _get_regs():
-        raw = bc.value if bc is not None else local
-        key = id(raw)
-        hit = _REGISTRY_CACHE.get(key)
-        if hit is None:
-            hit = (
-                AliasRegistry(raw["province"]),
-                AliasRegistry(raw["district"]),
-                AliasRegistry(raw["ward"]),
-            )
-            _REGISTRY_CACHE.clear()
-            _REGISTRY_CACHE[key] = hit
-        return hit
+    _get_regs = _registry_udf_payload(registries, spark)
 
     @pandas_udf(_FEATURES_SCHEMA)
     def extract_features_udf(text: pd.Series) -> pd.Series:
@@ -152,24 +167,9 @@ def make_detect_udf(registries: dict[str, list[str]], spark=None):
     fragments; the exact-registry hit short-circuits the fuzzy scan
     (reference ``_pick_best`` fast path, inexus_parser.py:2715-2717).
     """
-    from address_parser_spark.textops.detect import AliasRegistry, detect_by_prefix
+    from address_parser_spark.textops.detect import detect_by_prefix
 
-    bc = spark.sparkContext.broadcast(registries) if spark is not None else None
-    local = registries if bc is None else None
-
-    def _get_regs():
-        raw = bc.value if bc is not None else local
-        key = id(raw)
-        hit = _REGISTRY_CACHE.get(key)
-        if hit is None:
-            hit = (
-                AliasRegistry(raw["province"]),
-                AliasRegistry(raw["district"]),
-                AliasRegistry(raw["ward"]),
-            )
-            _REGISTRY_CACHE.clear()
-            _REGISTRY_CACHE[key] = hit
-        return hit
+    _get_regs = _registry_udf_payload(registries, spark)
 
     @pandas_udf(_DETECT_SCHEMA)
     def detect_udf(std_basic: pd.Series) -> pd.DataFrame:
@@ -322,7 +322,8 @@ def street_extract_udf(
     )
 
 
-def _street_and_entity(original: str, std: str, province, district, ward) -> tuple[str, str]:
+def _street_and_entity(original: str, std: str, province, district, ward,
+                       is_new=None) -> tuple[str, str]:
     """Street extraction + entity_std derivation (row-local core shared by the
     standalone UDF and the fused resolver).
 
@@ -332,11 +333,15 @@ def _street_and_entity(original: str, std: str, province, district, ward) -> tup
     of an entity shares one entity_std regardless of which components the
     page happened to render (partial mentions the repair cascade completed
     would otherwise land in different blocks). Mentions with no resolved
-    components fall back to the normalized mention minus its street tokens."""
+    components fall back to the normalized mention minus its street tokens.
+    New-format entities (``is_new``) exclude the district from entity_std:
+    it is a display-only inference from the ward's old-catalog twin and
+    varies with the mention text (street extraction still uses it)."""
     from address_parser_spark.textops.normalize import normalize_advanced, normalize_basic
 
     street = extract_street(original, province, district, ward)
-    parts = [normalize_basic(x) for x in (ward, district, province) if x]
+    entity_district = None if is_new is True else district
+    parts = [normalize_basic(x) for x in (ward, entity_district, province) if x]
     entity_std = " ".join(p for p in parts if p)
     if len(entity_std) < 2:
         street_toks = set(normalize_advanced(street).split()) if street else set()
@@ -365,6 +370,7 @@ _STREET_ENTITY_SCHEMA = T.StructType(
 def street_and_entity_udf(
     original: pd.Series, std: pd.Series,
     province: pd.Series, district: pd.Series, ward: pd.Series,
+    is_new: pd.Series,
 ) -> pd.DataFrame:
     """Fused street extraction + entity_std derivation (one Arrow node).
 
@@ -374,7 +380,7 @@ def street_and_entity_udf(
     subtraction leaves fewer than 2 chars.
     """
     rows = []
-    for o, s, p, d, w in zip(original, std, province, district, ward):
+    for o, s, p, d, w, fmt in zip(original, std, province, district, ward, is_new):
         rows.append(
             _street_and_entity(
                 o if isinstance(o, str) else "",
@@ -382,6 +388,7 @@ def street_and_entity_udf(
                 p if isinstance(p, str) else None,
                 d if isinstance(d, str) else None,
                 w if isinstance(w, str) else None,
+                None if pd.isna(fmt) else bool(fmt),
             )
         )
     return pd.DataFrame(rows, columns=["street_address", "entity_std"])
@@ -422,7 +429,7 @@ RESOLVE_SCHEMA = T.StructType(
     ]
 )
 
-_RESOLVER_CACHE: dict[int, tuple] = {}
+_RESOLVER_CACHE: dict[str, tuple] = {}
 _SCORE_MEMO_CAP = 2_000_000
 
 
@@ -492,6 +499,7 @@ _REPAIR_SCHEMA = T.StructType(
         T.StructField("province_code", T.StringType()),
         T.StructField("district_code", T.StringType()),
         T.StructField("ward_code", T.StringType()),
+        T.StructField("is_new", T.BooleanType()),
         T.StructField("street_address", T.StringType()),
         T.StructField("entity_std", T.StringType()),
     ]
@@ -501,7 +509,9 @@ _REPAIR_SCHEMA = T.StructType(
 def make_repair_street_udf(repair_state: dict, spark=None):
     """Standalone repair-cascade + street UDF for the RELATIONAL strategy
     (the broadcast kernel fuses the same logic; outputs must stay identical —
-    tests assert strategy equality)."""
+    tests assert strategy equality). ``is_new`` in = the winner node's format
+    (None ⇔ no winner); out = the final format tag (repair-only resolutions
+    derive it from the attached codes, matching resolve_one)."""
     bc = spark.sparkContext.broadcast(repair_state) if spark is not None else None
     local = repair_state if bc is None else None
 
@@ -516,26 +526,30 @@ def make_repair_street_udf(repair_state: dict, spark=None):
         det_p: pd.Series, det_d: pd.Series, det_w: pd.Series,
         province: pd.Series, district: pd.Series, ward: pd.Series,
         p_code: pd.Series, d_code: pd.Series, w_code: pd.Series,
+        is_new: pd.Series,
     ) -> pd.DataFrame:
         from address_parser_spark.textops.repair import repair_components, validate_detected
 
         st = _get()
         rows = []
-        for m, s, sb, dp, dd, dw, p, d, w, pc, dc, wc in zip(
+        for m, s, sb, dp, dd, dw, p, d, w, pc, dc, wc, fmt in zip(
             mention, std, std_basic, det_p, det_d, det_w,
-            province, district, ward, p_code, d_code, w_code,
+            province, district, ward, p_code, d_code, w_code, is_new,
         ):
+            fmt = None if pd.isna(fmt) else bool(fmt)
             dp, dd, dw = validate_detected(st, dp, dd, dw)
             p2, d2, w2, pc2, dc2, wc2 = repair_components(
                 st, p or "", d or "", w or "", dp, dd, dw,
                 sb if isinstance(sb, str) else "", pc, dc, wc,
             )
             p2, d2, w2 = p2 or None, d2 or None, w2 or None
+            if fmt is None and (p2 or d2 or w2):
+                fmt = _infer_format(st, d2, wc2, pc2)
             street, entity_std = _street_and_entity(
                 m if isinstance(m, str) else "",
-                s if isinstance(s, str) else "", p2, d2, w2,
+                s if isinstance(s, str) else "", p2, d2, w2, fmt,
             )
-            rows.append((p2, d2, w2, pc2, dc2, wc2, street, entity_std))
+            rows.append((p2, d2, w2, pc2, dc2, wc2, fmt, street, entity_std))
         return pd.DataFrame(rows, columns=[f.name for f in _REPAIR_SCHEMA.fields])
 
     return repair_udf
@@ -594,16 +608,23 @@ def make_resolve_udf(state: dict, spark=None,
     repaired components. Scores are memoized per worker process across
     batches keyed on (std, cand_std, flag) — duplicate address strings across
     the corpus pay once per worker."""
-    payload = {"resolve": state, "repair": repair_state}
+    import uuid
+
+    # Cache key is a DRIVER-GENERATED token inside the payload, not id(): a
+    # GC'd broadcast value whose address is reused must not alias a stale
+    # resolver, and two alternating resolver UDFs in one worker must not
+    # thrash a single-entry cache.
+    payload = {"token": uuid.uuid4().hex, "resolve": state, "repair": repair_state}
     bc = spark.sparkContext.broadcast(payload) if spark is not None else None
     local = payload if bc is None else None
 
     def _get_state():
         raw = bc.value if bc is not None else local
-        key = id(raw)
+        key = raw["token"]
         hit = _RESOLVER_CACHE.get(key)
         if hit is None:
-            _RESOLVER_CACHE.clear()
+            if len(_RESOLVER_CACHE) >= 4:
+                _RESOLVER_CACHE.clear()
             r = raw["resolve"]
             hit = (r["idx_all"], r["idx_primary"], r["n_primary"], r["attrs"], r["inv"],
                    raw["repair"], {}, {})
@@ -635,6 +656,20 @@ def make_resolve_udf(state: dict, spark=None,
 _NONE_ROW = (None,) * 15
 
 
+def _infer_format(rep_st: dict, district, w_code, p_code):
+    """Format tag for a repair-only resolution (no winner node): derived from
+    the code system so the entity_key matches sibling mentions that resolved a
+    node. 3-level (district present) → old; ward code → catalog membership;
+    province-only → catalog membership; nothing → unknown (None)."""
+    if district:
+        return False
+    if w_code:
+        return w_code in rep_st.get("new_ward_codes", ())
+    if p_code:
+        return p_code in rep_st.get("new_province_codes", ())
+    return None
+
+
 def resolve_one(idx_all, idx_primary, n_primary, attrs, inv, rep_st,
                 score_memo, boost_memo,
                 m, s, sb, gs, dp, dd, dw, partial_input: bool = False,
@@ -664,16 +699,17 @@ def resolve_one(idx_all, idx_primary, n_primary, attrs, inv, rep_st,
     dp = dp if dp and dp in inv["province"] else None
     dd = dd if dd and dd in inv["district"] else None
     dw = dw if dw and dw in inv["ward"] else None
-    # ``gs`` is the RAW gram list (with duplicates): candidate RANKING counts
-    # every occurrence (reference ``ngram_address_piece_list`` consumes the
-    # list, :2670-2680) while the Dice intersection is over the DISTINCT set
-    # (:2812-2824) — both matter for which candidates reach the score slice.
+    # Candidate RANKING counts each DISTINCT input gram once (reference
+    # ``ngram_address_piece_list`` iterates ``set(input_ngram_list)``,
+    # :2674-2676), and the Dice intersection is over the same distinct set
+    # (:2812-2824) — ``gs`` may arrive raw or pre-deduplicated; both collapse
+    # to ``gset`` here.
+    gset = set(gs)
     c_rank: Counter = Counter()
-    for g in gs:
+    for g in gset:
         post = idx_all.get(g)
         if post:
             c_rank.update(post)
-    gset = set(gs)
     c_prim: Counter = Counter()
     for g in gset:
         post = idx_primary.get(g)
@@ -756,8 +792,10 @@ def resolve_one(idx_all, idx_primary, n_primary, attrs, inv, rep_st,
         province, district, ward = province or None, district or None, ward or None
         if nid is None and not (province or district or ward):
             return _NONE_ROW
+        if nid is None:
+            is_new = _infer_format(rep_st, district, w_code, p_code)
     street, entity_std = _street_and_entity(
-        m if isinstance(m, str) else "", s, province, district, ward
+        m if isinstance(m, str) else "", s, province, district, ward, is_new
     )
     return (nid, level, is_new, province, district, ward,
             p_code, d_code, w_code, cand_std, final, combined, dice,

@@ -343,6 +343,11 @@ def build_repair_state(gaz: Gazetteer, nodes: list[dict]) -> dict:
         "ward_by_province": ward_by_province,
         "ward_by_district": ward_by_district,
         "ward_by_name": ward_by_name,
+        # code-system membership — lets a repair-only resolution (no winner
+        # node) derive its format tag from the attached codes, so its
+        # entity_key matches sibling mentions that resolved a node
+        "new_ward_codes": frozenset(w["code"] for w in gaz.new_wards),
+        "new_province_codes": frozenset(p["code"] for p in gaz.new_provinces),
     }
 
 

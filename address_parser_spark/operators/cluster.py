@@ -92,6 +92,7 @@ def connected_components(
     edges: DataFrame,
     checkpoint_fn: Optional[Callable[[DataFrame, int], DataFrame]] = None,
     max_iterations: int = MAX_ITERATIONS,
+    timings: Optional[dict] = None,
 ) -> DataFrame:
     """edges(src long, dst long) → assignments(id long, component long).
 
@@ -111,18 +112,29 @@ def connected_components(
     overhead-bound (measured 67s → 12s on a 113k-edge graph at local[32]).
     The session conf is restored on exit.
     """
+    import time as _time
+
     spark = edges.sparkSession
     orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _t0 = _time.monotonic()
     current, prev_fp = _checkpoint_with_fingerprint(_canon(edges), -1, checkpoint_fn)
+    if timings is not None:
+        timings["cc_init"] = round(_time.monotonic() - _t0, 2)
     try:
         loop_parts = max(8, min(int(orig_parts), prev_fp[0] // 250_000 + 8))
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        rounds = 0
+        _t0 = _time.monotonic()
         for it in range(max_iterations):
             stepped = _small_star(_large_star(current))
             current, fp = _checkpoint_with_fingerprint(_canon(stepped), it, checkpoint_fn)
+            rounds += 1
             if fp == prev_fp:
                 break
             prev_fp = fp
+        if timings is not None:
+            timings["cc_rounds"] = rounds
+            timings["cc_loop"] = round(_time.monotonic() - _t0, 2)
 
         # Converged state: every edge points directly at its component minimum.
         members = current.select(F.col("src").alias("id"), F.col("dst").alias("component"))
@@ -136,6 +148,7 @@ def cluster_mentions(
     resolved: DataFrame,
     extra_edges: Optional[DataFrame] = None,
     checkpoint_fn: Optional[Callable[[DataFrame, int], DataFrame]] = None,
+    timings: Optional[dict] = None,
 ) -> DataFrame:
     """Mention clustering with entity-anchor edges (+ optional pair edges).
 
@@ -148,12 +161,21 @@ def cluster_mentions(
     Returns (mid, url, mention, entity_key, cluster_id) where cluster_id is
     stable (min vertex id in the component).
     """
+    # Full (ward-level) resolutions anchor on the entity key alone. PARTIAL
+    # resolutions (no ward) additionally salt the anchor with entity_std:
+    # every distinct ward of one district that failed ward resolution shares
+    # the district-level entity_key, and a bare key anchor would weld those
+    # distinct entities into one cluster. Genuinely district-level mentions
+    # of the same entity still share entity_std (it is built from the
+    # resolved components), so they keep clustering together.
     anchors = resolved.select(
         F.col("mid").alias("src"),
-        F.xxhash64("entity_key").alias("dst"),
+        F.when(
+            F.col("ward").isNotNull(), F.xxhash64("entity_key")
+        ).otherwise(F.xxhash64("entity_key", "entity_std")).alias("dst"),
     )
     edges = anchors if extra_edges is None else anchors.unionAll(extra_edges)
-    assignments = connected_components(edges, checkpoint_fn=checkpoint_fn)
+    assignments = connected_components(edges, checkpoint_fn=checkpoint_fn, timings=timings)
     return (
         resolved.join(assignments, resolved["mid"] == assignments["id"], "left")
         .drop("id")

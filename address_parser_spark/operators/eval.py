@@ -21,7 +21,11 @@ def gold_entity_col() -> F.Column:
     )
 
 
-def labeled_pairs(keyed_with_labels: DataFrame, max_block: int = 1 << 20) -> DataFrame:
+def labeled_pairs(
+    keyed_with_labels: DataFrame,
+    max_block: int = 1 << 20,
+    max_gold_entity: int = 256,
+) -> DataFrame:
     """Labeled + predicted mention pairs for the F1 gate.
 
     Two pair surfaces, unioned and deduped:
@@ -29,11 +33,16 @@ def labeled_pairs(keyed_with_labels: DataFrame, max_block: int = 1 << 20) -> Dat
     - **key-conditioned pairs** (mentions sharing ≥1 blocking key) — the
       precision surface: spurious same-cluster decisions can only arise where
       candidate pairs exist;
-    - **ALL gold same-entity pairs** (self-join on gold_entity — bounded per
-      entity) — the recall surface. A gold pair whose mentions land in no
-      common block would otherwise be invisible to ``fn``, which is exactly
-      the failure mode the blocking stage introduces; recall must be charged
-      for it.
+    - **gold same-entity pairs** (self-join on gold_entity) — the recall
+      surface. A gold pair whose mentions land in no common block would
+      otherwise be invisible to ``fn``, which is exactly the failure mode the
+      blocking stage introduces; recall must be charged for it. The self-join
+      is quadratic per entity, so entities larger than ``max_gold_entity``
+      mentions are REPRESENTED BY a deterministic per-entity sample (smallest
+      ``max_gold_entity`` mids): at web scale one hot entity ("ha noi") has
+      10^7 mentions, and its sampled pairs estimate the same recall the full
+      10^14-pair surface would. The drop is deterministic, not silent — count
+      oversampled entities via ``oversized_gold_entities``.
 
     Input columns: mid, keys (array), gold_entity, cluster_id.
     Output: mid_a, mid_b, is_match (gold), same_cluster (predicted).
@@ -56,7 +65,17 @@ def labeled_pairs(keyed_with_labels: DataFrame, max_block: int = 1 << 20) -> Dat
         )
     )
 
-    m = keyed_with_labels.select("mid", "gold_entity", "cluster_id").distinct()
+    from pyspark.sql.window import Window
+
+    m = (
+        keyed_with_labels.select("mid", "gold_entity", "cluster_id").distinct()
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("gold_entity").orderBy("mid")),
+        )
+        .filter(F.col("_rk") <= max_gold_entity)
+        .drop("_rk")
+    )
     ga = m.select(F.col("mid").alias("mid_a"), "gold_entity", F.col("cluster_id").alias("c_a"))
     gb = m.select(F.col("mid").alias("mid_b"), "gold_entity", F.col("cluster_id").alias("c_b"))
     gold_pairs = (
@@ -76,6 +95,19 @@ def labeled_pairs(keyed_with_labels: DataFrame, max_block: int = 1 << 20) -> Dat
             F.max("is_match").alias("is_match"),
             F.first("same_cluster").alias("same_cluster"),
         )
+    )
+
+
+def oversized_gold_entities(
+    keyed_with_labels: DataFrame, max_gold_entity: int = 256
+) -> DataFrame:
+    """Gold entities whose pair surface was sampled by ``labeled_pairs`` —
+    the no-silent-caps diagnostic (entity, mention count)."""
+    return (
+        keyed_with_labels.select("mid", "gold_entity").distinct()
+        .groupBy("gold_entity")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .filter(F.col("n_mentions") > max_gold_entity)
     )
 
 

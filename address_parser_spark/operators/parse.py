@@ -73,10 +73,12 @@ def extract_normalize(pages: DataFrame, registries: dict[str, list[str]] | None 
             ).alias("det"),
             F.col("f.partial").alias("partial_flag"),
         )
-        # RAW gram list (duplicates kept): ranking counts occurrences, Dice
-        # uses the distinct set (reference :2670-2680 vs :2812-2824)
-        .withColumn("grams", char_ngrams_col(F.col("std"), distinct=False))
-        .withColumn("n_in", F.size(F.array_distinct("grams")))
+        # DISTINCT gram set: both candidate ranking (reference iterates
+        # ``set(input_ngram_list)``, :2674-2676) and Dice (:2812-2824) consume
+        # distinct grams; the within-input multiplicity signal (partial flag)
+        # is already folded in by the extract UDF.
+        .withColumn("grams", char_ngrams_col(F.col("std"), distinct=True))
+        .withColumn("n_in", F.size("grams"))
         .withColumn("mid", F.xxhash64("url", "mention"))
     )
 
@@ -84,9 +86,10 @@ def extract_normalize(pages: DataFrame, registries: dict[str, list[str]] | None 
 def block_candidates(mentions: DataFrame, index_df: DataFrame) -> DataFrame:
     """Blocking join on the narrowest possible probe relation (mid, gram).
 
-    ``inter_rank`` counts every probe-gram occurrence (the reference ranks
-    candidates by the raw counter, inexus_parser.py:2670-2680); ``inter``
-    counts distinct shared grams (the Dice numerator, :2812-2824)."""
+    ``grams`` is distinct per mention, so ``inter_rank`` is the count of
+    DISTINCT shared grams vs the node's alias-union gram set (the reference
+    iterates ``set(input_ngram_list)``, inexus_parser.py:2674-2676); ``inter``
+    restricts to primary-form grams (the Dice numerator, :2812-2824)."""
     probe = mentions.select("mid", F.explode("grams").alias("g"))
     return (
         probe.join(F.broadcast(index_df), "g")
@@ -258,7 +261,12 @@ def _with_format_and_key(winners: DataFrame) -> DataFrame:
             F.concat_ws(
                 "|",
                 F.coalesce("province_code", F.lit("")),
-                F.coalesce("district_code", F.lit("")),
+                # New-format entities have NO district level; the repair
+                # cascade still infers one for display parity with the
+                # reference, but which old-catalog twin it picks varies with
+                # the mention text — keying on it would split the entity.
+                F.when(F.col("is_new") == True, F.lit(""))  # noqa: E712
+                .otherwise(F.coalesce("district_code", F.lit(""))),
                 F.coalesce("ward_code", F.lit("")),
                 F.coalesce(F.col("is_new").cast("string"), F.lit("unknown")),
             ),
@@ -282,6 +290,7 @@ def attach_street(winners: DataFrame) -> DataFrame:
             street_and_entity_udf(
                 F.col("mention"), F.col("std"),
                 F.col("province"), F.col("district"), F.col("ward"),
+                F.col("is_new"),
             ),
         )
         .withColumn("street_address", F.col("se.street_address"))
@@ -299,6 +308,7 @@ def resolve_mentions(
     strategy: str = "broadcast",
     nodes: list[dict] | None = None,
     repair_state: dict | None = None,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Full extract → dedup → resolve (block/gate/score/argmax/street)
     pipeline; winners joined back onto the (url, mention) fact rows.
@@ -329,9 +339,14 @@ def resolve_mentions(
     each of them (measured: the extract UDF chain re-executing up to 4× with
     AQE-dependent variance).
     """
+    import time as _time
+
+    _t = _time.monotonic()
     mentions = extract_normalize(pages, registries)
     if persist_intermediates:
         mentions = mentions.localCheckpoint(eager=True)
+    if timings is not None:
+        timings["extract_ckpt"] = round(_time.monotonic() - _t, 2)
 
     uniq = (
         mentions
@@ -385,7 +400,10 @@ def resolve_mentions(
             # in the fact-join plan it inherits that plan's (byte-driven)
             # parallelism decisions — measured 52s vs 11s for the identical
             # kernel at local[32]. The frame is distinct-mention-sized.
+            _t = _time.monotonic()
             winners = winners.localCheckpoint(eager=True)
+            if timings is not None:
+                timings["resolve_kernel_ckpt"] = round(_time.monotonic() - _t, 2)
     else:
         from address_parser_spark.functions.udfs import build_resolver_state
 
@@ -419,12 +437,13 @@ def resolve_mentions(
                     F.col("det_p"), F.col("det_d"), F.col("det_w"),
                     F.col("province"), F.col("district"), F.col("ward"),
                     F.col("province_code"), F.col("district_code"), F.col("ward_code"),
+                    F.col("is_new"),
                 ),
             )
             winners = (
                 repaired
                 .drop("province", "district", "ward",
-                      "province_code", "district_code", "ward_code",
+                      "province_code", "district_code", "ward_code", "is_new",
                       "std_basic", "det_p", "det_d", "det_w")
                 .select("*", "rs.*")
                 .drop("rs")
@@ -437,5 +456,18 @@ def resolve_mentions(
             )
             winners = _with_format_and_key(winners)
 
+    # Fact join: winners is DISTINCT-MENTION-sized (the whole point of the
+    # dedup), so when small enough it ships as a broadcast and the fact table
+    # never shuffles at all. Otherwise the join keys on xxhash64(mention)
+    # FIRST — partition routing and sort comparisons on an 8-byte long, with
+    # the mention string kept as an equality conjunct (collision-proof).
     fact = mentions.select("mid", "url", "mention")
-    return fact.join(winners, "mention")
+    broadcast_winners = False
+    if persist_intermediates and strategy == "broadcast":
+        # winners is checkpointed → counting is one cheap metadata-ish job
+        broadcast_winners = winners.count() <= 2_000_000
+    fact_k = fact.withColumn("_mk", F.xxhash64("mention"))
+    winners_k = winners.withColumn("_mk", F.xxhash64("mention"))
+    if broadcast_winners:
+        winners_k = F.broadcast(winners_k)
+    return fact_k.join(winners_k, ["_mk", "mention"]).drop("_mk")

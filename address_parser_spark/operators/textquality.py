@@ -129,17 +129,30 @@ def fingerprints(docs: DataFrame, text_col: str = "text", shingle_k: int = 3,
     content_hash = (
         (lambda c: F.xxhash64(c).cast("string")) if fast_hash else F.md5
     )
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    toks = tokens_col(norm)
+    # Stage norm/toks/shingles as REAL columns: each is consumed by 2-3
+    # downstream expressions, and a Column is an expression tree — inlining
+    # re-evaluates the whole shingle generation per consumer (the same
+    # CollapseProject trap minhash_signatures stages around, dedup.py).
+    norm = F.col("_fp_norm")
+    toks = F.col("_fp_toks")
     n = F.size(toks)
-    shingles = F.when(
-        n >= shingle_k,
-        F.transform(
-            F.sequence(F.lit(1), n - (shingle_k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select(
+    staged = (
+        docs
+        .withColumn("_fp_norm", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        .withColumn("_fp_toks", tokens_col(norm))
+        .withColumn(
+            "_fp_shingles",
+            F.when(
+                n >= shingle_k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (shingle_k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", toks))),
+        )
+    )
+    shingles = F.col("_fp_shingles")
+    return staged.select(
         "doc_id",
         content_hash(norm).alias("content_md5"),
         F.array_min(F.transform(shingles, shingle_hash)).alias("min_shingle_hash"),

@@ -51,7 +51,7 @@ class LocalParser:
 
         std = normalize_advanced(text)
         basic = normalize_basic(text)
-        grams = char_ngrams(std)  # RAW list: ranking counts occurrences
+        grams = char_ngrams(std)  # resolve_one dedups; ranking counts distinct grams
         det_p, det_d, det_w = detect_by_prefix(basic, self._reg_p, self._reg_d, self._reg_w)
         from address_parser_spark.functions.udfs import partial_flag
 

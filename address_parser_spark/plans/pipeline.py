@@ -29,7 +29,6 @@ from address_parser_spark.operators.cluster import cluster_mentions, connected_c
 from address_parser_spark.operators.pairs import (
     candidate_pairs,
     match_edges,
-    score_pairs,
     with_blocking_keys,
 )
 from address_parser_spark.operators.parse import resolve_mentions
@@ -44,9 +43,11 @@ def attach_new_ward_codes(
     The preferred mapping row per canonical node is resolved ONCE on the
     nodes DIMENSION (reference ``map_old_address_ids_to_new`` preference
     semantics via ``operators.mapping.map_old_to_new``), then broadcast-joined
-    onto the clustered mentions on ``node_id`` — no shuffle and no window ever
-    touches the fact table, so the flagship scaling profile is unchanged.
-    New-format winners already carry their new-format ward code."""
+    onto the clustered mentions on ``ward_code`` — no shuffle and no window
+    ever touches the fact table, so the flagship scaling profile is
+    unchanged. Keyed on the old WARD CODE rather than node_id so repair-only
+    resolutions (no winner node, but a code attached by the lookup cascade)
+    map too. New-format winners already carry their new-format ward code."""
     from address_parser_spark.operators.mapping import map_old_to_new, mappings_to_spark
 
     mappings = mappings_to_spark(spark, gaz.ward_mappings)
@@ -54,11 +55,19 @@ def attach_new_ward_codes(
         nodes_df.filter((~F.col("is_new")) & F.col("ward_code").isNotNull())
         .select("node_id", "ward_code", "province", "district")
     )
-    node_map = map_old_to_new(old_nodes, mappings).select(
-        "node_id", "new_ward_code", "new_ward_name", "new_province_name"
+    node_map = (
+        map_old_to_new(old_nodes, mappings)
+        .select(F.col("ward_code").alias("_old_wc"),
+                "new_ward_code", "new_ward_name", "new_province_name")
+        # nodes sharing a ward code carry the same (province, district) and
+        # thus the same preferred mapping row — one row per code
+        .dropDuplicates(["_old_wc"])
     )
     return (
-        clustered.join(F.broadcast(node_map), "node_id", "left")
+        clustered.join(
+            F.broadcast(node_map), clustered["ward_code"] == node_map["_old_wc"], "left"
+        )
+        .drop("_old_wc")
         .withColumn(
             "new_ward_code",
             F.when(F.col("is_new"), F.col("ward_code")).otherwise(F.col("new_ward_code")),
@@ -81,16 +90,26 @@ def run_pipeline(
     store: Optional[StageStore] = None,
     max_block: int = 64,
     attach_ward_mapping: bool = True,
+    timings: Optional[dict] = None,
 ) -> DataFrame:
     """pages → clustered mentions (mid, url, mention, std, parsed components,
-    street_address, format, entity_key, cluster_id, new_ward_code/-name)."""
+    street_address, format, entity_key, cluster_id, new_ward_code/-name).
+
+    ``timings``: optional dict the pipeline fills with per-barrier wall times
+    (scripts/profile_run.py) — the serial-fraction attribution the scaling
+    criterion demands is measured, never guessed."""
+    import time as _time
+
     from address_parser_spark.gazetteer.nodes import build_repair_state
 
+    _t0 = _time.monotonic()
     nodes = build_nodes(gaz)
     nodes_df = nodes_to_spark(spark, nodes)
     index_df = ngram_index_df(nodes_df)
     registries = alias_registries(gaz)
     repair_state = build_repair_state(gaz, nodes)
+    if timings is not None:
+        timings["gaz_prep"] = round(_time.monotonic() - _t0, 2)
 
     def stage(name: str, build, partition_by=None, multi_consumer: bool = True) -> DataFrame:
         """Materialize each multi-consumer stage exactly once: durable
@@ -102,6 +121,11 @@ def run_pipeline(
         if store is None:
             if not multi_consumer:
                 return build()
+            if timings is not None:
+                t = _time.monotonic()
+                out = build().localCheckpoint(eager=True)
+                timings[f"stage_{name}"] = round(_time.monotonic() - t, 2)
+                return out
             # localCheckpoint rather than persist: materializes once AND
             # truncates the logical plan to an RDD scan. Persisted frames with
             # UDF-heavy plans make every subsequent query pay driver-side plan
@@ -122,13 +146,15 @@ def run_pipeline(
         "resolved",
         lambda: resolve_mentions(
             pages, nodes_df, index_df, registries,
-            nodes=nodes, repair_state=repair_state,
+            nodes=nodes, repair_state=repair_state, timings=timings,
         ),
     )
     keyed = stage("keyed", lambda: with_blocking_keys(resolved))
+    # Equality-only edge rule → raw pairs, no scoring UDF on this path
+    # (match_edges computes scores itself iff a jw_threshold is requested).
     edges = stage(
         "edges",
-        lambda: match_edges(score_pairs(candidate_pairs(keyed, max_block=max_block))),
+        lambda: match_edges(candidate_pairs(keyed, max_block=max_block)),
         multi_consumer=False,
     )
 
@@ -136,7 +162,9 @@ def run_pipeline(
         checkpoint_fn = None
         if store is not None:
             checkpoint_fn = lambda df, it: store.write(df, f"cc_iter_{it + 1:03d}")
-        return cluster_mentions(resolved, extra_edges=edges, checkpoint_fn=checkpoint_fn)
+        return cluster_mentions(
+            resolved, extra_edges=edges, checkpoint_fn=checkpoint_fn, timings=timings
+        )
 
     clustered = stage("clustered", build_clusters, multi_consumer=False)
     if attach_ward_mapping and gaz.ward_mappings:

@@ -76,7 +76,13 @@ def _type_word(rec: dict) -> str:
     return rec["full_name"][: -len(rec["name"])].strip() if rec["full_name"].endswith(rec["name"]) else ""
 
 
-def _render_mention(rng: random.Random, ward: dict, district: dict | None, province: dict) -> str:
+def _render_mention(
+    rng: random.Random,
+    ward: dict,
+    district: dict | None,
+    province: dict,
+    unique_wd: frozenset | None = None,
+) -> str:
     """One address mention in a random style; returns the exact text embedded."""
     w_name, p_name = ward["name"], province["name"]
     w_type, p_type = _type_word(ward), _type_word(province)
@@ -87,12 +93,19 @@ def _render_mention(rng: random.Random, ward: dict, district: dict | None, provi
         d_name, d_type = district["name"], _type_word(district)
         # Partial style 10 omits the province — the repair cascade must infer
         # it back (reference process() step 6); only rendered when the
-        # ward/district names are globally unique in the catalog (non-digit),
-        # so the gold entity stays recoverable and the F1 gate is meaningful.
-        # (A no-district partial was tried and removed: "Xã W, Tỉnh P" is
-        # string-identical to a new-format mention of the post-merger twin
-        # ward — no string system can separate the two entities.)
-        if style >= 10 and (w_name.isdigit() or d_name.isdigit()):
+        # (ward, district) NAME PAIR is globally unique in the old catalog
+        # (membership in ``unique_wd``, precomputed by _GazIndex) and
+        # non-digit, so the gold entity stays recoverable and the F1 gate is
+        # meaningful. (A no-district partial was tried and removed:
+        # "Xã W, Tỉnh P" is string-identical to a new-format mention of the
+        # post-merger twin ward — no string system can separate the two
+        # entities.)
+        if style >= 10 and (
+            w_name.isdigit()
+            or d_name.isdigit()
+            or unique_wd is None
+            or (w_name.lower(), d_name.lower()) not in unique_wd
+        ):
             style = 0
         forms = {
             0: f"Số {house} {street}, {w_type} {w_name}, {d_type} {d_name}, {p_type} {p_name}",
@@ -129,6 +142,16 @@ class _GazIndex:
         self.old_provinces = {p["code"]: p for p in gaz.old_provinces}
         self.new_wards = gaz.new_wards
         self.new_provinces = {p["code"]: p for p in gaz.new_provinces}
+        # (ward name, district name) pairs occurring exactly once across the
+        # old catalog — the only pairs from which a province-omitted mention
+        # (style 10) is unambiguously recoverable.
+        from collections import Counter
+
+        wd = Counter(
+            (w["name"].lower(), self.old_districts[w["district_code"]]["name"].lower())
+            for w in gaz.old_wards
+        )
+        self.unique_wd = frozenset(k for k, n in wd.items() if n == 1)
 
 
 def render_page(page_id: int, gidx: _GazIndex, seed: int = 42) -> tuple[tuple, list[tuple]]:
@@ -155,7 +178,7 @@ def render_page(page_id: int, gidx: _GazIndex, seed: int = 42) -> tuple[tuple, l
                 district = gidx.old_districts[ward["district_code"]]
                 province = gidx.old_provinces[district["province_code"]]
                 codes = (province["code"], district["code"], ward["code"], False)
-            mention = _render_mention(rng, ward, district, province)
+            mention = _render_mention(rng, ward, district, province, gidx.unique_wd)
             lines.insert(rng.randrange(len(lines) + 1), f"{rng.choice(_TRIGGERS)}{mention}.")
             golds.append((url, mention) + codes)
 

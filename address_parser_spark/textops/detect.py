@@ -112,6 +112,28 @@ def _pick_best(fragment: str, registry: AliasRegistry) -> Optional[str]:
     return best_choice
 
 
+def _first_valid(pattern: re.Pattern, text: str, registry: AliasRegistry) -> Optional[str]:
+    """All keyword matches scanned; the first EXACT registry hit wins, else
+    the first fuzzy hit. DELIBERATE DEVIATION from the reference's single
+    ``.search`` (inexus_parser.py:2733-2750): the district keyword set
+    contains "thanh pho"/"tp" (a provincial-city district can carry them), so
+    in province-FIRST renderings ("Thanh pho X, Quan 5, Phuong 12") the first
+    match captures the province fragment and detection dies — the reference's
+    golden corpus is province-LAST so it never hits this. Exact-first keeps
+    the fuzzy behavior identical whenever the reference's match validated.
+    Validated on golden-450 (accuracy ≥ reference) + the corpus F1 gate."""
+    fuzzy: Optional[str] = None
+    for m in pattern.finditer(text):
+        frag = _trim_fragment(m.group(1).strip())
+        if not frag:
+            continue
+        if frag in registry.choice_set:
+            return frag
+        if fuzzy is None:
+            fuzzy = _pick_best(frag, registry)
+    return fuzzy
+
+
 def detect_by_prefix(
     std_basic: str,
     provinces: AliasRegistry,
@@ -121,15 +143,8 @@ def detect_by_prefix(
     """Detect (province, district, ward) standardized aliases in the input."""
     if not std_basic:
         return None, None, None
-    prov = dist = ward = None
-
-    m = _PROVINCE_PREF.search(std_basic)
-    if m:
-        prov = _pick_best(m.group(1), provinces)
-    m = _DISTRICT_PREF.search(std_basic)
-    if m:
-        dist = _pick_best(m.group(1), districts)
-    m = _WARD_PREF.search(std_basic)
-    if m:
-        ward = _pick_best(m.group(1), wards)
-    return prov, dist, ward
+    return (
+        _first_valid(_PROVINCE_PREF, std_basic, provinces),
+        _first_valid(_DISTRICT_PREF, std_basic, districts),
+        _first_valid(_WARD_PREF, std_basic, wards),
+    )

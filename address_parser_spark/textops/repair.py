@@ -266,6 +266,7 @@ def repair_components(
     province_code: Optional[str],
     district_code: Optional[str],
     ward_code: Optional[str],
+    allow_district: bool = True,
 ) -> tuple[str, str, str, Optional[str], Optional[str], Optional[str]]:
     """Full cascade: (p, d, w, p_code, d_code, w_code) after repair.
 
@@ -273,7 +274,13 @@ def repair_components(
     (``validate_detected``). Codes follow the reference's id semantics: kept
     while the component is untouched, re-derived through the lookup cascade
     (None when ambiguous) once the component is repaired, cleared with the
-    component."""
+    component.
+
+    ``allow_district=False`` disables every district-setting step (fill,
+    override, refill, inference): NEW-format (2-level) winners have no
+    district level, and inferring one from the ward's OLD-catalog twin
+    attaches an arbitrary phantom district that splits the entity key across
+    mentions of the same new-format entity (same-cluster recall loss)."""
 
     def appears(component: Optional[str]) -> bool:
         if not component:
@@ -284,6 +291,8 @@ def repair_components(
     province = province or ""
     district = district or ""
     ward = ward or ""
+    if not allow_district:
+        district, district_code, det_d = "", None, None
 
     # 1. fill missing from detected
     if not province and det_p:
@@ -411,8 +420,51 @@ def repair_components(
         if resolved:
             ward, ward_code = resolved, None
 
+    # 5.5 evidence-gated ward fill by literal containment — a DOCUMENTED
+    # DEVIATION from the reference (its containment search only REPLACES a
+    # wrong ward, :334-364): untyped street-heavy mentions ("345 Hoàng Văn
+    # Thụ, Minh Vĩnh, Nhà Bè, Hồ Chí Minh") lose the ward to the bare
+    # province node via the partial_ratio substring bias, and the cascade
+    # then has nothing to repair FROM. Applies ONLY to bare-province/empty
+    # resolutions (ward AND district both unresolved — when a district
+    # resolved, an empty ward is usually genuinely absent and filling from
+    # street text corrupts it; measured on golden-450). The fill demands
+    # strong evidence: BOTH the ward name AND its parent (district for
+    # old-format, province for new-format) present in the input at token
+    # boundaries, and a unique surviving candidate — validated by golden-450
+    # parity + the F1 gate.
+    if not ward and not district:
+        padded = f" {input_basic} "
+
+        def tok_in(s: str) -> bool:
+            return bool(s) and f" {s} " in padded
+
+        p_std_fill = normalize_basic(province) if province else None
+        best_name, best_len = None, -1
+        for w_std, entries in st["ward_by_name"].items():
+            # digit/short ward names ("3", "my") false-fill from street
+            # numbers and name syllables — those wards are only ever written
+            # with their type word, which prefix detection already handles
+            if len(w_std) < 4 or w_std.isdigit():
+                continue
+            if len(w_std) <= best_len or not tok_in(w_std):
+                continue
+            names = set()
+            first = None
+            for e in entries:
+                if p_std_fill and e.get("province_key") and e["province_key"] != p_std_fill:
+                    continue
+                parent = e.get("district_key") or e.get("province_key")
+                if parent and tok_in(parent):
+                    names.add(e["name"])
+                    first = first or e["name"]
+            if len(names) == 1:
+                best_name, best_len = first, len(w_std)
+        if best_name:
+            ward, ward_code = best_name, None
+
     # 6. infer district from (province, ward)
-    if not district and ward:
+    if allow_district and not district and ward:
         inferred = _infer_district(st, province, ward, source_string=input_basic)
         if inferred:
             district, district_code = inferred, None

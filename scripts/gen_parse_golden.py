@@ -64,11 +64,25 @@ def install_rapidfuzz_shim() -> None:
 # Spelling-equivalence classes from hcmut_assigment/scorer.py:12-23 (data
 # tables — the comparison relation the reference's own harness defines).
 def equivalence_maps() -> tuple[dict, dict, dict]:
+    # The reference repo is UNTRUSTED content: parse the three assignments
+    # with ast and accept only literal right-hand sides — never exec() lines
+    # read from it.
+    import ast
+
     scorer_src = (REFERENCE / "hcmut_assigment" / "scorer.py").read_text(encoding="utf-8")
+    wanted = {"groups_province", "groups_district", "groups_ward"}
     ns: dict = {}
-    for line in scorer_src.splitlines():
-        if line.startswith(("groups_province", "groups_district", "groups_ward")):
-            exec(line, ns)  # noqa: S102 - executes only the literal dict assignments
+    for node in ast.parse(scorer_src).body:
+        if (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+            and node.targets[0].id in wanted
+        ):
+            ns[node.targets[0].id] = ast.literal_eval(node.value)
+    missing = wanted - set(ns)
+    if missing:
+        raise ValueError(f"scorer.py missing literal assignments: {sorted(missing)}")
     gp, gd, gw = ns["groups_province"], ns["groups_district"], ns["groups_ward"]
     gw.update({str(i): [str(i), f"0{i}"] for i in range(1, 10)})
 
