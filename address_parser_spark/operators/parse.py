@@ -196,13 +196,22 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
     return (
         gated
         .join(node_side, "node_id")
-        .withColumn(
-            "sc",
-            candidate_score_udf(
-                F.col("std"), F.col("cand_std"), F.coalesce("partial_input", F.lit(False)),
-                F.col("det_p"), F.col("det_d"), F.col("det_w"),
-                F.col("p_std"), F.col("d_std"), F.col("w_std"),
-            ),
+        # explode(array(udf)): generator boundary — downstream consumers
+        # (final_score, argmax keys) reference sc.* repeatedly and would
+        # otherwise re-plant the scoring UDF into chained ArrowEvalPython
+        # nodes (see the broadcast-kernel note in resolve_mentions)
+        .select(
+            "*",
+            F.explode(
+                F.array(
+                    candidate_score_udf(
+                        F.col("std"), F.col("cand_std"),
+                        F.coalesce("partial_input", F.lit(False)),
+                        F.col("det_p"), F.col("det_d"), F.col("det_w"),
+                        F.col("p_std"), F.col("d_std"), F.col("w_std"),
+                    )
+                )
+            ).alias("sc"),
         )
         .withColumn(
             "comps",
@@ -285,13 +294,19 @@ def attach_street(winners: DataFrame) -> DataFrame:
     """
     return _with_format_and_key(
         winners
-        .withColumn(
-            "se",
-            street_and_entity_udf(
-                F.col("mention"), F.col("std"),
-                F.col("province"), F.col("district"), F.col("ward"),
-                F.col("is_new"),
-            ),
+        # explode(array(udf)): generator boundary against python-UDF
+        # re-evaluation by the two field extractions (see resolve_mentions)
+        .select(
+            "*",
+            F.explode(
+                F.array(
+                    street_and_entity_udf(
+                        F.col("mention"), F.col("std"),
+                        F.col("province"), F.col("district"), F.col("ward"),
+                        F.col("is_new"),
+                    )
+                )
+            ).alias("se"),
         )
         .withColumn("street_address", F.col("se.street_address"))
         .withColumn("entity_std", F.col("se.entity_std"))
@@ -378,13 +393,24 @@ def resolve_mentions(
             # tiny in bytes — AQE's byte-driven coalescing would serialize it
             # (an explicit repartition count is never AQE-coalesced).
             .repartition(2 * spark.sparkContext.defaultParallelism, F.col("std"))
-            .withColumn(
-                "w",
-                resolve(
-                    F.col("mention"), F.col("std"), F.col("std_basic"), F.col("grams"),
-                    F.col("det.det_p"), F.col("det.det_d"), F.col("det.det_w"),
-                    F.coalesce("partial_flag", F.lit(False)),
-                ),
+            # explode(array(udf)) plants a GENERATOR between the kernel and
+            # the downstream filter/projection: without it Catalyst's python-
+            # UDF extraction materializes TWO chained ArrowEvalPython nodes
+            # (one for the filter predicate, one for the projection) and every
+            # row pays the kernel twice — measured 11 s → 34 s on the 40k-page
+            # profile, the single largest serial term in the scaling story.
+            .select(
+                "mention", "std",
+                F.explode(
+                    F.array(
+                        resolve(
+                            F.col("mention"), F.col("std"), F.col("std_basic"),
+                            F.col("grams"),
+                            F.col("det.det_p"), F.col("det.det_d"), F.col("det.det_w"),
+                            F.coalesce("partial_flag", F.lit(False)),
+                        )
+                    )
+                ).alias("w"),
             )
             .filter(
                 F.col("w.node_id").isNotNull()
@@ -430,15 +456,22 @@ def resolve_mentions(
             joined = extras.join(
                 pick_winners(scored).drop("mid", "std"), "mention", "left"
             ).join(uniq.select("mention", "std"), "mention")
-            repaired = joined.withColumn(
-                "rs",
-                repair(
-                    F.col("mention"), F.col("std"), F.col("std_basic"),
-                    F.col("det_p"), F.col("det_d"), F.col("det_w"),
-                    F.col("province"), F.col("district"), F.col("ward"),
-                    F.col("province_code"), F.col("district_code"), F.col("ward_code"),
-                    F.col("is_new"),
-                ),
+            # explode(array(udf)): generator boundary so the downstream
+            # filter/expansion never duplicates the repair UDF into chained
+            # ArrowEvalPython nodes (same trap as the broadcast kernel above)
+            repaired = joined.select(
+                "*",
+                F.explode(
+                    F.array(
+                        repair(
+                            F.col("mention"), F.col("std"), F.col("std_basic"),
+                            F.col("det_p"), F.col("det_d"), F.col("det_w"),
+                            F.col("province"), F.col("district"), F.col("ward"),
+                            F.col("province_code"), F.col("district_code"),
+                            F.col("ward_code"), F.col("is_new"),
+                        )
+                    )
+                ).alias("rs"),
             )
             winners = (
                 repaired
