@@ -52,13 +52,16 @@ def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(resolved_master)
     confs = dict(DEFAULT_CONFS)
-    # Shuffle partitions scale with the session's parallelism (4× cores, ≥32):
-    # a fixed count leaves 4N-core runs with N-core-sized task grain, which is
-    # the textbook serial-fraction cap. On a real cluster this is the
-    # spark-submit conf; locally it tracks local[N].
+    # Shuffle partitions track the session's parallelism with a floor of 32.
+    # The previous 4×cores heuristic was measured ACTIVELY harmful on local
+    # runs (150k-page pipeline at local[32]: 112 s at 128 partitions vs 51 s
+    # at 32 — four task waves of per-task overhead on every one of the
+    # pipeline's many small-byte shuffles, none of which need the width).
+    # On a real cluster the spark-submit conf wins; AQE coalescing plus the
+    # 64k floor handles residual sizing either way.
     cores = _master_cores(resolved_master)
     if cores:
-        confs["spark.sql.shuffle.partitions"] = str(max(4 * cores, 32))
+        confs["spark.sql.shuffle.partitions"] = str(max(cores, 32))
     else:
         confs["spark.sql.shuffle.partitions"] = "32"
     for key, value in {**confs, **(extra_confs or {})}.items():

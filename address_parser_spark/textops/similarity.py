@@ -52,7 +52,7 @@ def lcs_length(a: str, b: str) -> int:
             continue
         u = v & pm
         v = ((v + u) | (v - u)) & full
-    return m - bin(v).count("1")
+    return m - v.bit_count()
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -102,9 +102,23 @@ def indel_ratio(a: str, b: str) -> float:
     return 100.0 * (2.0 * lcs_length(a, b)) / total
 
 
+@lru_cache(maxsize=65536)
 def partial_ratio(a: str, b: str) -> float:
     """Best ``indel_ratio`` of the shorter string against same-length windows
-    of the longer one (edge windows included)."""
+    of the longer one (edge windows included). lru-cached: the scoring blend
+    evaluates partial_ratio(inp, cand) both directly and inside ``wratio``
+    for the same pair — the cache collapses the duplicate scan.
+
+    Exact-output pruning (the scan is the kernel's hottest loop):
+
+    - **Lipschitz window skip.** Sliding a fixed-length window by one char
+      changes its LCS with ``short`` by at most 1, so after measuring window
+      ``i`` at LCS ``L``, no window ``i+k`` can beat the current best LCS
+      before ``k > best_lcs − L`` — those windows are skipped unmeasured.
+    - **Edge-window length bound.** A truncated window of length ``k`` has
+      LCS ≤ k, so ratio ≤ 200k/(ls+k); k below the bound implied by the
+      running best cannot win and is never measured.
+    """
     if not a and not b:
         return 100.0
     if not a or not b:
@@ -116,15 +130,27 @@ def partial_ratio(a: str, b: str) -> float:
     # The whole-string alignment is always a candidate: partial_ratio must
     # dominate plain ratio (windows alone can lose to it, e.g. "11"/"101").
     best = indel_ratio(short, long_)
-    # Full-length interior windows.
-    for i in range(ll - ls + 1):
-        score = indel_ratio(short, long_[i : i + ls])
-        if score > best:
-            best = score
-            if best >= 100.0:
-                return 100.0
+    # Full-length interior windows: ratio = 100·lcs/ls, so track best as lcs.
+    best_lcs = int(best * ls / 100.0)  # floor: current best ⇒ beat this lcs
+    i = 0
+    last = ll - ls
+    while i <= last:
+        lcs = lcs_length(short, long_[i : i + ls])
+        if lcs > best_lcs:
+            best_lcs = lcs
+            score = 100.0 * lcs / ls
+            if score > best:
+                best = score
+                if best >= 100.0:
+                    return 100.0
+            i += 1
+        else:
+            # windows i+1 .. i+(best_lcs-lcs) cannot exceed best_lcs
+            i += best_lcs - lcs + 1
     # Truncated edge windows (prefix/suffix overhangs).
     for k in range(1, ls):
+        if 200.0 * k / (ls + k) <= best:
+            continue
         score = indel_ratio(short, long_[:k])
         if score > best:
             best = score
@@ -134,8 +160,11 @@ def partial_ratio(a: str, b: str) -> float:
     return best
 
 
+@lru_cache(maxsize=65536)
 def _token_sorted(s: str) -> str:
     return " ".join(sorted(s.split()))
+
+
 
 
 def token_sort_ratio(a: str, b: str) -> float:
@@ -168,6 +197,10 @@ def wratio(a: str, b: str) -> float:
     token = max(token_sort_ratio(a, b), token_set_ratio(a, b))
     if len_ratio < 1.5:
         return max(base, token * 0.95)
+    # NOTE: a char-count upper-bound prune of the two partial scans was tried
+    # and removed — blocking-derived candidate pairs share most of their
+    # characters by construction, so the bound almost never fired and its
+    # cost exceeded the savings (measured 7.5 → 8.1 ms/mention).
     partial_scale = 0.9 if len_ratio < 8.0 else 0.6
     partial = partial_ratio(a, b)
     partial_token = partial_ratio(_token_sorted(a), _token_sorted(b))

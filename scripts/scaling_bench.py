@@ -6,6 +6,15 @@ job at two local parallelism levels on the SAME input:
 
     efficiency = throughput(local[4N]) / (4 × throughput(local[N]))
 
+**CPU affinity is load-bearing.** ``local[N]`` bounds concurrent TASKS, not
+CPUs: every Arrow stage adds a python worker PROCESS per task slot on top of
+the executor thread, plus JVM shuffle/codegen/GC threads — an unpinned
+local[8] run on a 32-vCPU box was measured consuming >20 CPUs, inflating the
+"N" baseline ~2.5× and making 4× throughput arithmetically impossible (the
+round-2 inverted curve). Each level therefore runs under ``taskset -c`` on
+exactly N CPUs — the faithful emulation of an N-core cluster slice, which is
+what the north_rule's two-cluster-size criterion compares.
+
 Protocol (hermetic):
 1. the deterministic corpus is generated ONCE and written to parquet — both
    levels scan identical bytes from disk, exactly like a production job
@@ -92,9 +101,10 @@ def main() -> None:
         results = {}
         raw = {low: [], high: []}
         for cores in (low, high):
+            pin = ["taskset", "-c", f"0-{cores - 1}"]
             for _ in range(reps):
                 out = subprocess.run(
-                    [sys.executable, "-c", _RUN_SNIPPET.format(
+                    pin + [sys.executable, "-c", _RUN_SNIPPET.format(
                         repo=str(REPO), cores=cores, corpus=corpus, warm=warm, n_pages=n_pages)],
                     capture_output=True, text=True, timeout=6000,
                 )
