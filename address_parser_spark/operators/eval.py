@@ -111,6 +111,83 @@ def oversized_gold_entities(
     )
 
 
+def adapt_result_cols(df: DataFrame) -> DataFrame:
+    """Reference ``_adapt_new_result`` (tests/eval_parsers.py:42-75) as pure
+    column logic: parser output columns (province/district/ward/
+    street_address/format/is_new) → the baseline comparison shape
+    (ctryname, ctrysubdivname, ctrysubsubdivname array), lower/trimmed
+    (``_normalize_value``, :9-21). New-format rows map (province, ward,
+    [street]); old-format rows map (province, district, [street, ward])."""
+
+    def norm(col: str) -> F.Column:
+        return F.coalesce(F.trim(F.lower(F.col(col))), F.lit(""))
+
+    is_new = (F.col("format") == "new") | (F.col("is_new") == True)  # noqa: E712
+    street, ward, district = norm("street_address"), norm("ward"), norm("district")
+    non_empty = lambda c: F.filter(c, lambda x: x != "")  # noqa: E731
+    return df.withColumns(
+        {
+            "ctryname": norm("province"),
+            "ctrysubdivname": F.when(is_new, ward).otherwise(district),
+            "ctrysubsubdivname": F.when(is_new, non_empty(F.array(street)))
+            .otherwise(non_empty(F.array(street, ward))),
+        }
+    )
+
+
+def differential_eval(
+    parsed: DataFrame, baseline: DataFrame, key: str = "address"
+) -> DataFrame:
+    """Reference ``evaluate`` (tests/eval_parsers.py:76-114) relationally:
+    per-row field-mismatch flags of an adapted parse against an external
+    baseline already in the comparison shape. Returns one row per key with
+    ``diff_*`` booleans and both sides' values — ``diff_counts`` aggregates
+    it; filter ``any_diff`` for the mismatch dump."""
+    p = adapt_result_cols(parsed).select(
+        key,
+        F.col("ctryname").alias("new_ctryname"),
+        F.col("ctrysubdivname").alias("new_ctrysubdivname"),
+        F.col("ctrysubsubdivname").alias("new_ctrysubsubdivname"),
+    )
+    b = baseline.select(
+        key,
+        F.coalesce(F.trim(F.lower(F.col("ctryname"))), F.lit("")).alias("base_ctryname"),
+        F.coalesce(F.trim(F.lower(F.col("ctrysubdivname"))), F.lit("")).alias("base_ctrysubdivname"),
+        F.coalesce(
+            F.transform(F.col("ctrysubsubdivname"), lambda x: F.trim(F.lower(x))),
+            F.array().cast("array<string>"),
+        ).alias("base_ctrysubsubdivname"),
+    )
+    joined = p.join(b, key)
+    diffs = {
+        "diff_ctryname": F.col("new_ctryname") != F.col("base_ctryname"),
+        "diff_ctrysubdivname": F.col("new_ctrysubdivname") != F.col("base_ctrysubdivname"),
+        "diff_ctrysubsubdivname": F.col("new_ctrysubsubdivname") != F.col("base_ctrysubsubdivname"),
+    }
+    out = joined.withColumns(diffs)
+    return out.withColumn(
+        "any_diff",
+        F.col("diff_ctryname") | F.col("diff_ctrysubdivname") | F.col("diff_ctrysubsubdivname"),
+    )
+
+
+def diff_counts(diffed: DataFrame) -> dict[str, int]:
+    """Aggregate of ``differential_eval``: total rows + per-field mismatch
+    counts (the reference's ``summary`` Counter)."""
+    row = diffed.select(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("diff_ctryname").cast("long")).alias("ctryname"),
+        F.sum(F.col("diff_ctrysubdivname").cast("long")).alias("ctrysubdivname"),
+        F.sum(F.col("diff_ctrysubsubdivname").cast("long")).alias("ctrysubsubdivname"),
+    ).collect()[0]
+    return {
+        "total": int(row["total"]),
+        "ctryname": int(row["ctryname"] or 0),
+        "ctrysubdivname": int(row["ctrysubdivname"] or 0),
+        "ctrysubsubdivname": int(row["ctrysubsubdivname"] or 0),
+    }
+
+
 def pairwise_f1(pairs: DataFrame) -> dict[str, float]:
     row = pairs.select(
         F.sum((F.col("is_match") & F.col("same_cluster")).cast("long")).alias("tp"),

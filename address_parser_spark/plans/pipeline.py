@@ -149,7 +149,11 @@ def run_pipeline(
             nodes=nodes, repair_state=repair_state, timings=timings,
         ),
     )
-    keyed = stage("keyed", lambda: with_blocking_keys(resolved))
+    # keyed is consumed exactly once (candidate_pairs is a single-aggregation
+    # chain since the collect_list rewrite), so it needs no barrier when no
+    # durable store is attached — with a store it still lands as a resumable
+    # snapshot stage.
+    keyed = stage("keyed", lambda: with_blocking_keys(resolved), multi_consumer=False)
     # Equality-only edge rule → raw pairs, no scoring UDF on this path
     # (match_edges computes scores itself iff a jw_threshold is requested).
     edges = stage(
