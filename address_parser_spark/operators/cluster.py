@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, functions as F
 
 MAX_ITERATIONS = 30
 
+# Below this many canonical edges the distributed loop is pure overhead:
+# 10-20 driver-serialized rounds to converge a graph that fits in one
+# driver heap costs 15-30 s where an in-memory union-find takes
+# milliseconds. The outputs are contract-identical (component = min member
+# id), so the switch is invisible to callers; big graphs never take this
+# path.
+SMALL_GRAPH_EDGES = 100_000
+
 
 def _canon(edges: DataFrame) -> DataFrame:
     """Undirected edge set, canonical orientation (big, small), no loops."""
@@ -88,11 +96,38 @@ def _checkpoint_with_fingerprint(df: DataFrame, it: int, checkpoint_fn) -> tuple
     return out, (int(metrics["n"]), int(metrics["h"]))
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact same output contract as the distributed loop, computed on the
+    driver (path-halving union-find + a min-member pass). Only ever called
+    on graphs whose canonical edge count is known to be small."""
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in edges.collect():
+        ra, rb = find(row["src"]), find(row["dst"])
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    out = [(x, comp_min[find(x)]) for x in parent]
+    return spark.createDataFrame(out, "id long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     checkpoint_fn: Optional[Callable[[DataFrame, int], DataFrame]] = None,
     max_iterations: int = MAX_ITERATIONS,
     timings: Optional[dict] = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(src long, dst long) → assignments(id long, component long).
 
@@ -120,6 +155,12 @@ def connected_components(
     current, prev_fp = _checkpoint_with_fingerprint(_canon(edges), -1, checkpoint_fn)
     if timings is not None:
         timings["cc_init"] = round(_time.monotonic() - _t0, 2)
+    if checkpoint_fn is None and prev_fp[0] <= small_graph_edges:
+        out = _driver_union_find(current)
+        if timings is not None:
+            timings["cc_rounds"] = 0
+            timings["cc_loop"] = round(_time.monotonic() - _t0, 2)
+        return out
     try:
         loop_parts = max(8, min(int(orig_parts), prev_fp[0] // 250_000 + 8))
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
@@ -161,9 +202,12 @@ def cluster_mentions(
     Returns (mid, url, mention, entity_key, cluster_id) where cluster_id is
     stable (min vertex id in the component).
     """
-    # Full (ward-level) resolutions anchor on the entity key alone. PARTIAL
-    # resolutions (no ward) additionally salt the anchor with entity_std:
-    # every distinct ward of one district that failed ward resolution shares
+    # Resolutions whose entity_key actually pins the ward (ward name AND
+    # ward_code present — entity_key encodes only codes, so a repaired ward
+    # with an ambiguous/null code is NOT identified by the key) anchor on the
+    # entity key alone. All others additionally salt the anchor with
+    # entity_std: every distinct ward of one district that failed ward
+    # resolution — or resolved to a name with no unambiguous code — shares
     # the district-level entity_key, and a bare key anchor would weld those
     # distinct entities into one cluster. Genuinely district-level mentions
     # of the same entity still share entity_std (it is built from the
@@ -171,7 +215,8 @@ def cluster_mentions(
     anchors = resolved.select(
         F.col("mid").alias("src"),
         F.when(
-            F.col("ward").isNotNull(), F.xxhash64("entity_key")
+            F.col("ward").isNotNull() & F.col("ward_code").isNotNull(),
+            F.xxhash64("entity_key"),
         ).otherwise(F.xxhash64("entity_key", "entity_std")).alias("dst"),
     )
     edges = anchors if extra_edges is None else anchors.unionAll(extra_edges)

@@ -142,7 +142,12 @@ def differential_eval(
     per-row field-mismatch flags of an adapted parse against an external
     baseline already in the comparison shape. Returns one row per key with
     ``diff_*`` booleans and both sides' values — ``diff_counts`` aggregates
-    it; filter ``any_diff`` for the mismatch dump."""
+    it; filter ``any_diff`` for the mismatch dump.
+
+    Joined LEFT from the baseline: the reference charges every dataset row,
+    so an address the parser failed to emit counts as a full mismatch
+    (parse side normalized to ''/empty array, ``missing_parse`` flags it)
+    rather than silently vanishing from the totals."""
     p = adapt_result_cols(parsed).select(
         key,
         F.col("ctryname").alias("new_ctryname"),
@@ -158,7 +163,19 @@ def differential_eval(
             F.array().cast("array<string>"),
         ).alias("base_ctrysubsubdivname"),
     )
-    joined = p.join(b, key)
+    joined = (
+        b.join(p, key, "left")
+        .withColumn("missing_parse", F.col("new_ctryname").isNull())
+        .withColumns(
+            {
+                "new_ctryname": F.coalesce("new_ctryname", F.lit("")),
+                "new_ctrysubdivname": F.coalesce("new_ctrysubdivname", F.lit("")),
+                "new_ctrysubsubdivname": F.coalesce(
+                    "new_ctrysubsubdivname", F.array().cast("array<string>")
+                ),
+            }
+        )
+    )
     diffs = {
         "diff_ctryname": F.col("new_ctryname") != F.col("base_ctryname"),
         "diff_ctrysubdivname": F.col("new_ctrysubdivname") != F.col("base_ctrysubdivname"),
@@ -179,12 +196,14 @@ def diff_counts(diffed: DataFrame) -> dict[str, int]:
         F.sum(F.col("diff_ctryname").cast("long")).alias("ctryname"),
         F.sum(F.col("diff_ctrysubdivname").cast("long")).alias("ctrysubdivname"),
         F.sum(F.col("diff_ctrysubsubdivname").cast("long")).alias("ctrysubsubdivname"),
+        F.sum(F.col("missing_parse").cast("long")).alias("missing_parse"),
     ).collect()[0]
     return {
         "total": int(row["total"]),
         "ctryname": int(row["ctryname"] or 0),
         "ctrysubdivname": int(row["ctrysubdivname"] or 0),
         "ctrysubsubdivname": int(row["ctrysubsubdivname"] or 0),
+        "missing_parse": int(row["missing_parse"] or 0),
     }
 
 

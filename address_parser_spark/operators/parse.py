@@ -497,8 +497,31 @@ def resolve_mentions(
     fact = mentions.select("mid", "url", "mention")
     broadcast_winners = False
     if persist_intermediates and strategy == "broadcast":
-        # winners is checkpointed → counting is one cheap metadata-ish job
-        broadcast_winners = winners.count() <= 2_000_000
+        # winners is checkpointed → counting is one cheap metadata-ish job.
+        # Gate on ESTIMATED BYTES, not rows: winners carries 15+ string
+        # columns, so a row-count cap alone could ship a multi-GB broadcast
+        # to the driver and every executor (OOM on clusters whose executors
+        # are smaller than the local driver). Sample-average row size ×
+        # count, kept under ~200 MB serialized.
+        n_winners = winners.count()
+        if 0 < n_winners <= 2_000_000:
+            sample_n = min(n_winners, 2_000)
+            avg_row = (
+                winners.limit(sample_n)
+                .select(
+                    F.sum(
+                        sum(
+                            (F.coalesce(F.length(F.col(c).cast("string")), F.lit(0))
+                             + F.lit(8)
+                             for c in winners.columns),
+                            F.lit(0),
+                        )
+                    ).alias("b")
+                )
+                .collect()[0]["b"]
+                or 0
+            ) / sample_n
+            broadcast_winners = n_winners * avg_row <= 200 * 1024 * 1024
     fact_k = fact.withColumn("_mk", F.xxhash64("mention"))
     winners_k = winners.withColumn("_mk", F.xxhash64("mention"))
     if broadcast_winners:

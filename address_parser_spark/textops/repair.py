@@ -266,7 +266,6 @@ def repair_components(
     province_code: Optional[str],
     district_code: Optional[str],
     ward_code: Optional[str],
-    allow_district: bool = True,
 ) -> tuple[str, str, str, Optional[str], Optional[str], Optional[str]]:
     """Full cascade: (p, d, w, p_code, d_code, w_code) after repair.
 
@@ -274,13 +273,8 @@ def repair_components(
     (``validate_detected``). Codes follow the reference's id semantics: kept
     while the component is untouched, re-derived through the lookup cascade
     (None when ambiguous) once the component is repaired, cleared with the
-    component.
-
-    ``allow_district=False`` disables every district-setting step (fill,
-    override, refill, inference): NEW-format (2-level) winners have no
-    district level, and inferring one from the ward's OLD-catalog twin
-    attaches an arbitrary phantom district that splits the entity key across
-    mentions of the same new-format entity (same-cluster recall loss)."""
+    component. New-format (2-level) phantom-district welding is prevented
+    downstream at the entity_key/entity_std level, not here."""
 
     def appears(component: Optional[str]) -> bool:
         if not component:
@@ -291,8 +285,6 @@ def repair_components(
     province = province or ""
     district = district or ""
     ward = ward or ""
-    if not allow_district:
-        district, district_code, det_d = "", None, None
 
     # 1. fill missing from detected
     if not province and det_p:
@@ -464,7 +456,7 @@ def repair_components(
             ward, ward_code = best_name, None
 
     # 6. infer district from (province, ward)
-    if allow_district and not district and ward:
+    if not district and ward:
         inferred = _infer_district(st, province, ward, source_string=input_basic)
         if inferred:
             district, district_code = inferred, None

@@ -59,18 +59,24 @@ def test_differential_eval_counts_and_dump(spark, parsed):
             ("a2", "đà nẵng", "hòa giang", ["28 hoàng văn thụ"]),
             # subsubdiv mismatch (baseline kept a street we dropped)
             ("a3", "hà nội", "thạch thất", ["5 abc", "bình yên"]),
+            # baseline-only row: the parser never emitted a4 — the reference
+            # charges every dataset row, so it must count as a full mismatch
+            ("a4", "cần thơ", "ninh kiều", ["12 trần phú"]),
         ],
         BASE_SCHEMA,
     )
     diffed = differential_eval(parsed, baseline, key="address")
     counts = diff_counts(diffed)
     assert counts == {
-        "total": 3,
-        "ctryname": 0,
-        "ctrysubdivname": 1,
-        "ctrysubsubdivname": 1,
+        "total": 4,
+        "ctryname": 1,
+        "ctrysubdivname": 2,
+        "ctrysubsubdivname": 2,
+        "missing_parse": 1,
     }
     dump = {r["address"]: r for r in diffed.filter("any_diff").collect()}
-    assert set(dump) == {"a2", "a3"}
+    assert set(dump) == {"a2", "a3", "a4"}
     assert dump["a2"]["base_ctrysubdivname"] == "hòa giang"
     assert dump["a3"]["new_ctrysubsubdivname"] == ["bình yên"]
+    assert dump["a4"]["missing_parse"] is True
+    assert dump["a4"]["new_ctryname"] == ""

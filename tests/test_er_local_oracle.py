@@ -87,7 +87,7 @@ def local_expected():
                 "format": fmt,
                 "entity_key": entity_key,
                 "entity_std": out["entity_std"],
-                "ward_resolved": w is not None,
+                "ward_resolved": w is not None and w_c is not None,
                 "std": std,
             }
 
