@@ -220,6 +220,40 @@ def _component_boost(cand_std, detected, exact_bonus, fuzzy_bonus, missing_penal
     return missing_penalty
 
 
+def _unsupported_penalty(inp, dp, dd, dw, np_, nd, nw) -> float:
+    """Order-insensitive containment check (the reference's
+    ``_appears_in_input`` idea, applied at scoring time): a candidate node
+    carrying a component that was neither detected NOR appears anywhere in
+    the input string has no textual support for it. Without this, a
+    2-component new-format mention ("Tỉnh X, Phường Y" in any order) loses
+    to its 3-level old-format twin purely on the comps bonus — the twin's
+    district name isn't in the string at all. Detection-backed contradictions
+    are already priced by ``_component_boost``; this term only fires when
+    detection returned nothing for the level."""
+    pen = 0.0
+    # Each penalty requires the OTHER two levels to be keyword-detected:
+    # that is the structural evidence the mention is fully typed, so a
+    # component with zero textual support is phantom, not merely omitted.
+    # (Golden-450-style bare mentions — "Sơn Thủy T Quảng Bình", no
+    # keywords — never trigger it; there an absent district usually means
+    # the writer omitted it, and penalizing the true candidate's district
+    # hands the win to an impostor whose district name echoes the province.)
+    # The district penalty must dominate the order-sensitivity of the string
+    # blend: a reversed "Tỉnh P, Phường W" scores its old-format twin's full
+    # variant ~15-20 higher on `combined` than the new-format variant (the
+    # sliding-window scorers reward the longer candidate), and the only
+    # evidence against the twin is that its district has zero textual
+    # support. Ward/province keep softer penalties — their absence is
+    # usually a partial mention, not a wrong-entity signal.
+    if dw and dp and not dd and nd and nd not in inp:
+        pen += 20.0
+    if dd and dp and not dw and nw and nw not in inp:
+        pen += 8.0
+    if dw and dd and not dp and np_ and np_ not in inp:
+        pen += 3.0
+    return pen
+
+
 def _combined_score(inp: str, cand: str, use_partial_flag: bool) -> tuple[float, float, float, float]:
     """Reference blend: max of ratio/WRatio, partial under the length rule,
     then floor at 0.6·ratio + 0.4·WRatio (inexus_parser.py:2886-2901).
@@ -247,15 +281,15 @@ def _combined_score(inp: str, cand: str, use_partial_flag: bool) -> tuple[float,
 
 @pandas_udf(_CAND_SCHEMA)
 def candidate_score_udf(
-    inp: pd.Series, cand: pd.Series, use_partial: pd.Series,
+    inp: pd.Series, inp_basic: pd.Series, cand: pd.Series, use_partial: pd.Series,
     det_p: pd.Series, det_d: pd.Series, det_w: pd.Series,
     node_p: pd.Series, node_d: pd.Series, node_w: pd.Series,
 ) -> pd.DataFrame:
     score_memo: dict[tuple, tuple] = {}
     boost_memo: dict[tuple, float] = {}
     rows = []
-    for i, c, f, dp, dd, dw, np_, nd, nw in zip(
-        inp, cand, use_partial, det_p, det_d, det_w, node_p, node_d, node_w
+    for i, ib, c, f, dp, dd, dw, np_, nd, nw in zip(
+        inp, inp_basic, cand, use_partial, det_p, det_d, det_w, node_p, node_d, node_w
     ):
         skey = (i, c, bool(f))
         scores = score_memo.get(skey)
@@ -273,7 +307,12 @@ def candidate_score_udf(
                 + _component_boost(np_, dp, 6.0, 3.5, -4.0)
             )
             boost_memo[bkey] = boost
-        rows.append(scores + (boost,))
+        # containment runs on the BASIC string (see resolve_one)
+        pen = _unsupported_penalty(
+            ib if isinstance(ib, str) else (i if isinstance(i, str) else ""),
+            dp, dd, dw, np_, nd, nw,
+        )
+        rows.append(scores + (boost - pen,))
     return pd.DataFrame(rows, columns=["base", "partial", "wratio", "combined", "boost"])
 
 
@@ -540,7 +579,7 @@ def make_repair_street_udf(repair_state: dict, spark=None):
             dp, dd, dw = validate_detected(st, dp, dd, dw)
             p2, d2, w2, pc2, dc2, wc2 = repair_components(
                 st, p or "", d or "", w or "", dp, dd, dw,
-                sb if isinstance(sb, str) else "", pc, dc, wc,
+                sb if isinstance(sb, str) else "", pc, dc, wc, is_new=fmt,
             )
             p2, d2, w2 = p2 or None, d2 or None, w2 or None
             if fmt is None and (p2 or d2 or w2):
@@ -768,9 +807,24 @@ def resolve_one(idx_all, idx_primary, n_primary, attrs, inv, rep_st,
                 + _component_boost(p_std, dp, 6.0, 3.5, -4.0)
             )
             boost_memo[bkey] = boost
+        # containment runs on the BASIC string: advanced normalization drops
+        # stop-tokens that are part of real names ("Nhà Bè" → "be"), which
+        # would misfire the penalty on the correct candidate
+        boost -= _unsupported_penalty(
+            sb if isinstance(sb, str) else s, dp, dd, dw, p_std, d_std, w_std
+        )
         comps = int(province is not None) + int(district is not None) + int(ward is not None)
         has_ward = int(ward is not None)
         final = combined + boost + comps * 1.5 + has_ward * 1.0 + dice * 10.0
+        # District-less input ⇒ the 2-level (new-format) reading is the
+        # structurally consistent one: without this, an order-reversed
+        # "Tỉnh P, Phường W" ties its old-format twin on every score term
+        # and the -node_id tiebreak silently picks old. 1.5 exactly offsets
+        # the 3-comp twin's comps advantage (digit ward/district twins like
+        # "1 1 ho chi minh" pass every containment check on a "Phường 1"
+        # input); never outweighs a detected district's boost.
+        if is_new and not dd:
+            final += 1.5
         key = (final, combined, comps, has_ward, len(cand_std), -nid)
         if best_key is None or key > best_key:
             best_key = key
@@ -787,7 +841,7 @@ def resolve_one(idx_all, idx_primary, n_primary, attrs, inv, rep_st,
         province, district, ward, p_code, d_code, w_code = repair_components(
             rep_st, province or "", district or "", ward or "",
             dp, dd, dw, sb if isinstance(sb, str) else "",
-            p_code, d_code, w_code,
+            p_code, d_code, w_code, is_new=is_new,
         )
         province, district, ward = province or None, district or None, ward or None
         if nid is None and not (province or district or ward):

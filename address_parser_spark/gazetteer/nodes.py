@@ -293,10 +293,22 @@ def build_repair_state(gaz: Gazetteer, nodes: list[dict]) -> dict:
     old_p_by_code = {p["code"]: p for p in gaz.old_provinces}
     old_d_by_code = {d["code"]: d for d in gaz.old_districts}
 
-    for p in list(gaz.old_provinces) + list(gaz.new_provinces):
+    # Old and new catalogs share province NAMES but not codes — the entry
+    # keeps both so the repair cascade can attach the code matching the
+    # winner's format (a new-format resolution must not inherit the old
+    # province code: entity keys encode codes).
+    for p in gaz.old_provinces:
         key = normalize_basic(p["name"])
         if key:
-            province_lookup.setdefault(key, {"name": p["name"], "code": p["code"]})
+            e = province_lookup.setdefault(key, {"name": p["name"], "code": None, "new_code": None})
+            if e["code"] is None:
+                e["code"] = p["code"]
+    for p in gaz.new_provinces:
+        key = normalize_basic(p["name"])
+        if key:
+            e = province_lookup.setdefault(key, {"name": p["name"], "code": None, "new_code": None})
+            if e["new_code"] is None:
+                e["new_code"] = p["code"]
 
     for d in gaz.old_districts:
         d_key = normalize_basic(d["name"])

@@ -205,7 +205,7 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
             F.explode(
                 F.array(
                     candidate_score_udf(
-                        F.col("std"), F.col("cand_std"),
+                        F.col("std"), F.col("std_basic"), F.col("cand_std"),
                         F.coalesce("partial_input", F.lit(False)),
                         F.col("det_p"), F.col("det_d"), F.col("det_w"),
                         F.col("p_std"), F.col("d_std"), F.col("w_std"),
@@ -223,7 +223,12 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
         .withColumn(
             "final_score",
             F.col("sc.combined") + F.col("sc.boost")
-            + F.col("comps") * 1.5 + F.col("has_ward") * 1.0 + F.col("dice") * 10.0,
+            + F.col("comps") * 1.5 + F.col("has_ward") * 1.0 + F.col("dice") * 10.0
+            # district-less input prefers the new-format reading (see the
+            # fused kernel in functions/udfs.py — both paths must agree)
+            + F.when(
+                F.col("is_new") & F.col("det_d").isNull(), F.lit(1.5)
+            ).otherwise(F.lit(0.0)),
         )
     )
 

@@ -6,10 +6,15 @@ plus a ground-truth sidecar ``gold_mentions(url, mention, province_code,
 district_code, ward_code, is_new)`` — which gazetteer entity each embedded
 mention denotes, enabling gold pair labels for the F1 gate (FIXTURES.md §1/§6).
 
-Rendering follows the *shape* of the reference's variant templating
-(``ner/build_standard_dataset.py:223-372``: accentless, abbreviated types,
-dropped types, reordered components, glued forms, hamlet-clause noise) —
-re-derived, not copied.
+Rendering implements the reference's full variant-spec scheme
+(``ner/build_standard_dataset.py``): the 34-spec table (:223-372), name-pool
+collection over (name, full_name, code_name) with includes-type inference
+(:558-576, :420-436), type-hint detection + abbreviation tables (:17-33,
+:464-517), and the spec-driven component renderer (:785-806) — re-expressed
+from the published spec semantics, not copied. Specs whose component order
+cannot recover the gold entity (ward_only, province_only, …) are excluded
+from the ER corpus (the F1 gate needs recoverable mentions) but remain in
+the table for the NER-dataset surface and the style-coverage test.
 
 Generation is keyed purely on ``(seed, page_id)``, so the distributed
 generator (``synth_pages_spark``: ``spark.range`` → ``mapInPandas``) produces
@@ -19,6 +24,7 @@ what makes the two-parallelism scaling benchmark an apples-to-apples run.
 
 from __future__ import annotations
 
+import dataclasses
 import datetime as dt
 import random
 from typing import Iterator
@@ -76,61 +82,281 @@ def _type_word(rec: dict) -> str:
     return rec["full_name"][: -len(rec["name"])].strip() if rec["full_name"].endswith(rec["name"]) else ""
 
 
+# ---------------------------------------------------------------------------
+# Variant-spec scheme (reference ner/build_standard_dataset.py:150-372).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSpec:
+    """One rendering style — same knob set as the reference's VariantSpec
+    (ner/build_standard_dataset.py:208-221)."""
+
+    name: str
+    lowercase: bool = False
+    strip_accents: bool = False
+    use_commas: bool = True
+    abbreviate_types: bool = False
+    drop_type_tokens: bool = False
+    prefer_full_name: bool = False
+    prefer_short_name: bool = False
+    include_street: bool = True
+    connectors: tuple = ()  # ((prev_label|next_label key, token), ...)
+    component_order: tuple = ("WARD", "DISTRICT", "PROVINCE")
+
+
+# The 34 specs of the reference table (ner/build_standard_dataset.py:223-372),
+# same names and knob settings — the spec semantics ARE the published
+# contract; the renderer below re-derives the behavior.
+RENDER_SPECS: tuple = (
+    RenderSpec(name="standard"),
+    RenderSpec(name="standard_no_commas", use_commas=False),
+    RenderSpec(name="lowercase", lowercase=True),
+    RenderSpec(name="lowercase_no_commas", lowercase=True, use_commas=False),
+    RenderSpec(name="accentless", lowercase=True, strip_accents=True, use_commas=False),
+    RenderSpec(name="accentless_commas", lowercase=True, strip_accents=True),
+    RenderSpec(name="abbrev_commas", abbreviate_types=True),
+    RenderSpec(name="abbrev_no_commas", abbreviate_types=True, use_commas=False),
+    RenderSpec(name="compact_commas", abbreviate_types=True, drop_type_tokens=True),
+    RenderSpec(name="compact_no_commas", use_commas=False, abbreviate_types=True,
+               drop_type_tokens=True),
+    RenderSpec(name="compact_short", lowercase=True, use_commas=False,
+               abbreviate_types=True, drop_type_tokens=True, prefer_short_name=True),
+    RenderSpec(name="compact_short_evil", lowercase=True, strip_accents=True,
+               use_commas=False, abbreviate_types=True, drop_type_tokens=True,
+               prefer_short_name=True),
+    RenderSpec(name="meaningful_connectors", prefer_full_name=True,
+               connectors=(("STREET|WARD", ","), ("WARD|DISTRICT", "thuộc"),
+                           ("DISTRICT|PROVINCE", "thuộc"), ("WARD|PROVINCE", "thuộc"))),
+    RenderSpec(name="no_street_compact", include_street=False, use_commas=False,
+               abbreviate_types=True, lowercase=True),
+    RenderSpec(name="ward_only", include_street=False, component_order=("WARD",)),
+    RenderSpec(name="ward_only_abbrev", include_street=False,
+               component_order=("WARD",), abbreviate_types=True),
+    RenderSpec(name="district_only", include_street=False, component_order=("DISTRICT",)),
+    RenderSpec(name="district_only_abbrev", include_street=False,
+               component_order=("DISTRICT",), abbreviate_types=True),
+    RenderSpec(name="province_only", include_street=False, component_order=("PROVINCE",)),
+    RenderSpec(name="province_only_abbrev", include_street=False,
+               component_order=("PROVINCE",), abbreviate_types=True),
+    RenderSpec(name="ward_province", include_street=False,
+               component_order=("WARD", "PROVINCE")),
+    RenderSpec(name="ward_province_abbrev", include_street=False,
+               component_order=("WARD", "PROVINCE"), abbreviate_types=True),
+    RenderSpec(name="province_ward", include_street=False,
+               component_order=("PROVINCE", "WARD")),
+    RenderSpec(name="province_ward_abbrev", include_street=False,
+               component_order=("PROVINCE", "WARD"), abbreviate_types=True),
+    RenderSpec(name="district_province", include_street=False,
+               component_order=("DISTRICT", "PROVINCE")),
+    RenderSpec(name="district_province_abbrev", include_street=False,
+               component_order=("DISTRICT", "PROVINCE"), abbreviate_types=True),
+    RenderSpec(name="province_district", include_street=False,
+               component_order=("PROVINCE", "DISTRICT")),
+    RenderSpec(name="province_district_abbrev", include_street=False,
+               component_order=("PROVINCE", "DISTRICT"), abbreviate_types=True),
+    RenderSpec(name="ward_district", component_order=("WARD", "DISTRICT")),
+    RenderSpec(name="ward_district_abbrev", component_order=("WARD", "DISTRICT"),
+               abbreviate_types=True),
+    RenderSpec(name="district_first", component_order=("DISTRICT", "WARD", "PROVINCE")),
+    RenderSpec(name="district_first_abbrev",
+               component_order=("DISTRICT", "WARD", "PROVINCE"), abbreviate_types=True),
+    RenderSpec(name="province_first", component_order=("PROVINCE", "DISTRICT", "WARD")),
+    RenderSpec(name="province_first_abbrev",
+               component_order=("PROVINCE", "DISTRICT", "WARD"), abbreviate_types=True),
+)
+
+# Type-abbreviation pools keyed by detected type hint (reference :22-33).
+_TYPE_ABBREV = {
+    "province_city": ("TP.", "TP"),
+    "province": ("Tỉnh",),
+    "district_quan": ("Q.", "Q"),
+    "district_huyen": ("H.", "H"),
+    "district_thi_xa": ("TX.", "TX"),
+    "district_city": ("TP.", "TP"),
+    "ward_phuong": ("P.", "P"),
+    "ward_xa": ("Xã", "X."),
+    "ward_thi_tran": ("TT.", "TT"),
+}
+
+_TYPE_PREFIXES = (
+    "thanh pho", "tinh", "quan", "huyen", "phuong", "xa", "thi xa", "thi tran",
+    "city", "district", "ward", "province",
+)
+
+
+def _infer_includes_type(text: str) -> bool:
+    """Reference ``infer_includes_type`` (:420-436): does the name already
+    carry its administrative-type word?"""
+    base = strip_accents(text).lower().strip()
+    return any(base.startswith(p) for p in _TYPE_PREFIXES)
+
+
+def _collect_variants(rec: dict) -> tuple:
+    """Reference ``collect_variants`` (:558-576): name pool over (name,
+    full_name, code_name) as (text, includes_type) pairs, deduped on the
+    accentless lowercase key (:547-556)."""
+    out, seen = [], set()
+    for key, default_inc in (("name", False), ("full_name", True), ("code_name", False)):
+        raw = rec.get(key)
+        if not raw:
+            continue
+        text = " ".join(str(raw).replace("_", " ").split())
+        if not text:
+            continue
+        k = strip_accents(text).lower()
+        if k in seen:
+            continue
+        seen.add(k)
+        out.append((text, default_inc or _infer_includes_type(text)))
+    return tuple(out)
+
+
+def _type_hint(rec: dict, level: str) -> str:
+    """Reference ``detect_type_hint`` full-name fallback path (:489-517)."""
+    base = strip_accents(rec.get("full_name") or "").lower()
+    if level == "PROVINCE":
+        return "province_city" if base.startswith("thanh pho") else "province"
+    if level == "DISTRICT":
+        for prefix, hint in (("quan", "district_quan"), ("thi xa", "district_thi_xa"),
+                             ("thi tran", "district_thi_tran"), ("thanh pho", "district_city")):
+            if base.startswith(prefix):
+                return hint
+        return "district_huyen"
+    for prefix, hint in (("phuong", "ward_phuong"), ("xa", "ward_xa"),
+                         ("thi tran", "ward_thi_tran")):
+        if base.startswith(prefix):
+            return hint
+    return "ward_phuong"
+
+
+def _component_text(rng: random.Random, rec: dict, level: str, spec: RenderSpec) -> str:
+    """Reference ``render_component_tokens`` (:785-806): pick a name variant
+    (full/short preference), prepend a (possibly abbreviated) type token when
+    the variant doesn't already include one."""
+    pool = _collect_variants(rec)
+    if spec.prefer_full_name:
+        full = [v for v in pool if v[1]]
+        pool = tuple(full) or pool
+    elif spec.prefer_short_name:
+        short = [v for v in pool if not v[1]]
+        pool = tuple(short) or pool
+    text, includes_type = rng.choice(pool)
+    if spec.drop_type_tokens or includes_type:
+        return text
+    token = _type_word(rec)
+    if spec.abbreviate_types:
+        candidates = _TYPE_ABBREV.get(_type_hint(rec, level))
+        if candidates:
+            token = rng.choice(candidates)
+    return f"{token} {text}" if token else text
+
+
+def _street_text(rng: random.Random) -> str:
+    street = rng.choice(_STREETS)
+    house = rng.randint(1, 450)
+    alley = rng.randint(1, 99)
+    forms = (
+        f"Số {house} {street}",
+        f"{house} {street}",
+        f"{house}/{alley} {street}",
+        f"số {house} đường {street}",
+        f"khu phố {rng.randint(1, 9)}, {street}" if rng.random() < 0.5 else f"{street}",
+    )
+    return rng.choice(forms)
+
+
+def _connector(spec: RenderSpec, prev: str, nxt: str) -> str:
+    for key, token in spec.connectors:
+        if key == f"{prev}|{nxt}":
+            return token
+    return "," if spec.use_commas else ""
+
+
+def _render_with_spec(
+    rng: random.Random, spec: RenderSpec, comps: dict
+) -> str:
+    """Reference ``render_data_sample`` assembly (:808-860): street, ordered
+    components, connectors, then spec-level accent/case transforms."""
+    segs = []
+    if spec.include_street:
+        segs.append(("STREET", _street_text(rng)))
+    for label in spec.component_order:
+        if label in comps:
+            segs.append((label, _component_text(rng, comps[label], label, spec)))
+    text = segs[0][1]
+    for i in range(1, len(segs)):
+        conn = _connector(spec, segs[i - 1][0], segs[i][0])
+        if conn == ",":
+            text = f"{text}, {segs[i][1]}"
+        elif conn:
+            text = f"{text} {conn} {segs[i][1]}"
+        else:
+            text = f"{text} {segs[i][1]}"
+    if spec.strip_accents:
+        text = strip_accents(text)
+    if spec.lowercase:
+        text = text.lower()
+    return text
+
+
+# Specs whose rendered mention still determines the gold entity: full
+# 3-level orders for old-format records, ward+province orders for new-format.
+# The *_only / district_province partial specs stay out of the ER corpus
+# (their mentions are genuinely ambiguous) but remain available to the
+# NER-dataset surface and the style-coverage test.
+_OLD_FULL_SPECS = tuple(
+    s for s in RENDER_SPECS if {"WARD", "DISTRICT", "PROVINCE"} <= set(s.component_order)
+)
+_OLD_PARTIAL_SPECS = tuple(
+    s for s in RENDER_SPECS if set(s.component_order) == {"WARD", "DISTRICT"}
+)
+_NEW_SPECS = tuple(
+    s for s in RENDER_SPECS if {"WARD", "PROVINCE"} <= set(s.component_order)
+)
+
+
 def _render_mention(
     rng: random.Random,
     ward: dict,
     district: dict | None,
     province: dict,
     unique_wd: frozenset | None = None,
-) -> str:
-    """One address mention in a random style; returns the exact text embedded."""
-    w_name, p_name = ward["name"], province["name"]
-    w_type, p_type = _type_word(ward), _type_word(province)
-    street = rng.choice(_STREETS)
-    house = rng.randint(1, 450)
-    style = rng.randrange(11)
+    with_spec_name: bool = False,
+):
+    """One address mention in a random spec; returns the exact text embedded
+    (optionally with the chosen spec name, for the style-coverage test)."""
     if district is not None:
-        d_name, d_type = district["name"], _type_word(district)
-        # Partial style 10 omits the province — the repair cascade must infer
-        # it back (reference process() step 6); only rendered when the
-        # (ward, district) NAME PAIR is globally unique in the old catalog
-        # (membership in ``unique_wd``, precomputed by _GazIndex) and
-        # non-digit, so the gold entity stays recoverable and the F1 gate is
-        # meaningful. (A no-district partial was tried and removed:
-        # "Xã W, Tỉnh P" is string-identical to a new-format mention of the
-        # post-merger twin ward — no string system can separate the two
-        # entities.)
-        if style >= 10 and (
+        specs = _OLD_FULL_SPECS + _OLD_PARTIAL_SPECS
+        spec = rng.choice(specs)
+        w_name, d_name = ward["name"], district["name"]
+        # The province-omitted ward_district specs mirror the reference's
+        # partial orders; only rendered when the (ward, district) NAME PAIR
+        # is globally unique in the old catalog (membership in ``unique_wd``)
+        # and non-digit, so the gold entity stays recoverable and the F1 gate
+        # is meaningful — the repair cascade must infer the province back
+        # (reference process() step 6). (A no-district partial was tried and
+        # removed: "Xã W, Tỉnh P" is string-identical to a new-format mention
+        # of the post-merger twin ward.) Bare-name compact specs on numeric
+        # ward/district names ("5", "12") are equally unrecoverable — both
+        # cases fall back to the standard spec.
+        if "PROVINCE" not in spec.component_order and (
             w_name.isdigit()
             or d_name.isdigit()
             or unique_wd is None
             or (w_name.lower(), d_name.lower()) not in unique_wd
         ):
-            style = 0
-        forms = {
-            0: f"Số {house} {street}, {w_type} {w_name}, {d_type} {d_name}, {p_type} {p_name}",
-            1: f"{house} {street}, {w_name}, {d_name}, {p_name}",
-            2: f"{house}/{rng.randint(1,99)} {street}, P.{w_name}, Q.{d_name}, TP.{p_name}",
-            3: f"{street}, {w_type} {w_name}, {d_type} {d_name}, {p_name}",
-            4: f"{w_name} - {d_name} - {p_name}",
-            5: f"Số {house} {street}, {w_type} {w_name}, {d_type} {d_name}, TP.{p_name.replace(' ', '')}",
-            6: f"{p_type} {p_name}, {d_type} {d_name}, {w_type} {w_name}",
-            7: f"khu phố {rng.randint(1,9)}, {w_type} {w_name}, {d_type} {d_name}, {p_type} {p_name}",
-            8: f"số {house} đường {street}, {w_name}, {d_name}, {p_name}",
-            9: f"{house} {street} {w_type} {w_name} {d_type} {d_name} {p_type} {p_name}",
-            10: f"Số {house} {street}, {w_type} {w_name}, {d_type} {d_name}",
-        }
-    else:  # new 2-level format
-        forms = {k: f"{w_type} {w_name}, {p_type} {p_name}" for k in range(11)}
-        forms[1] = f"Số {house} {street}, {w_name}, {p_name}"
-        forms[2] = f"{house} {street}, P.{w_name}, TP.{p_name}"
-    text = forms[style]
-    roll = rng.random()
-    if roll < 0.25:
-        text = strip_accents(text)
-    elif roll < 0.32:
-        text = text.lower()
-    return text
+            spec = RENDER_SPECS[0]
+        if spec.drop_type_tokens and (w_name.isdigit() or d_name.isdigit()):
+            spec = RENDER_SPECS[0]
+        comps = {"WARD": ward, "DISTRICT": district, "PROVINCE": province}
+    else:
+        spec = rng.choice(_NEW_SPECS)
+        if spec.drop_type_tokens and ward["name"].isdigit():
+            spec = RENDER_SPECS[0]
+        comps = {"WARD": ward, "PROVINCE": province}
+    text = _render_with_spec(rng, spec, comps)
+    return (spec.name, text) if with_spec_name else text
 
 
 class _GazIndex:

@@ -22,24 +22,30 @@ from typing import Optional, Sequence
 
 from address_parser_spark.textops.similarity import partial_ratio
 
-_PROVINCE_PREF = re.compile(
-    r"\b(?:thanh pho|tp|tinh|city|province|municipality)\b\s+([a-z0-9 ]+?)"
-    r"(?=\b(?:quan|huyen|thi xa|thi tran|phuong|xa|tp|tinh|district|ward|commune|town|thanh pho|city|province)\b|$)"
-)
-# DELIBERATE DEVIATION from the reference regexes: the single-letter
-# abbreviations "q"/"p" (basic normalization turns "Q.5"/"P.12" into
-# "q 5"/"p 12") join the keyword sets — digit wards/districts are otherwise
-# only recoverable through the candidate winner, and alias-diluted Dice can
-# gate digit nodes out on street-heavy mentions. Validated on the golden-450
+# DELIBERATE DEVIATION from the reference regexes: the short abbreviations
+# "q"/"p"/"h"/"x"/"tx"/"tt" (basic normalization turns "Q.5"/"P.12"/
+# "H. Đức Nghĩa"/"X. Thái Xá"/"TX. Phú Mỹ"/"TT. Củ Chi" into bare tokens)
+# join the keyword sets and every fragment-terminating lookahead — digit
+# wards/districts and abbreviated-type renderings are otherwise only
+# recoverable through the candidate winner, and alias-diluted Dice can gate
+# those nodes out on street-heavy mentions. Validated on the golden-450
 # harness (accuracy stays ≥ the reference's) and load-bearing for the
 # synthetic-corpus F1 gate.
+# "thuoc" ("thuộc" = belongs-to) is a connector between components, never
+# part of a name — it terminates fragments like any type keyword.
+_STOP = (
+    r"(?=\b(?:quan|huyen|thi xa|thi tran|phuong|xa|tp|tinh|district|ward"
+    r"|commune|town|thanh pho|city|province|p|q|h|x|tx|tt|thuoc)\b|$)"
+)
+_PROVINCE_PREF = re.compile(
+    r"\b(?:thanh pho|tp|tinh|city|province|municipality)\b\s+([a-z0-9 ]+?)" + _STOP
+)
 _DISTRICT_PREF = re.compile(
-    r"\b(?:quan|huyen|thi xa|thi tran|thanh pho|tp|city|municipality|district|county|q)\b\s+([a-z0-9 ]+?)"
-    r"(?=\b(?:phuong|xa|thi tran|quan|huyen|thi xa|district|ward|commune|town|thanh pho|city|province|p|q)\b|$)"
+    r"\b(?:quan|huyen|thi xa|thi tran|thanh pho|tp|city|municipality|district|county|q|h|tx)\b\s+([a-z0-9 ]+?)"
+    + _STOP
 )
 _WARD_PREF = re.compile(
-    r"\b(?:phuong|xa|thi tran|ward|commune|town|p)\b\s+([a-z0-9 ]+?)"
-    r"(?=\b(?:phuong|xa|thi tran|quan|huyen|thi xa|district|ward|commune|town|thanh pho|city|province|p|q)\b|$)"
+    r"\b(?:phuong|xa|thi tran|ward|commune|town|p|x|tt)\b\s+([a-z0-9 ]+?)" + _STOP
 )
 
 PARTIAL_CUTOFF = 70.0
@@ -112,7 +118,12 @@ def _pick_best(fragment: str, registry: AliasRegistry) -> Optional[str]:
     return best_choice
 
 
-def _first_valid(pattern: re.Pattern, text: str, registry: AliasRegistry) -> Optional[str]:
+def _first_valid(
+    pattern: re.Pattern,
+    text: str,
+    registry: AliasRegistry,
+    exact_elsewhere: Optional[AliasRegistry] = None,
+) -> Optional[str]:
     """All keyword matches scanned; the first EXACT registry hit wins, else
     the first fuzzy hit. DELIBERATE DEVIATION from the reference's single
     ``.search`` (inexus_parser.py:2733-2750): the district keyword set
@@ -129,6 +140,12 @@ def _first_valid(pattern: re.Pattern, text: str, registry: AliasRegistry) -> Opt
             continue
         if frag in registry.choice_set:
             return frag
+        if exact_elsewhere is not None and frag in exact_elsewhere.choice_set:
+            # The fragment IS another level's alias, verbatim ("thanh pho
+            # da nang" capturing "da nang" as a district candidate when
+            # "da nang" is exactly a province) — fuzzy-matching it into this
+            # level hallucinates a component and poisons boosts/prefilters.
+            continue
         if fuzzy is None:
             fuzzy = _pick_best(frag, registry)
     return fuzzy
@@ -145,6 +162,6 @@ def detect_by_prefix(
         return None, None, None
     return (
         _first_valid(_PROVINCE_PREF, std_basic, provinces),
-        _first_valid(_DISTRICT_PREF, std_basic, districts),
+        _first_valid(_DISTRICT_PREF, std_basic, districts, exact_elsewhere=provinces),
         _first_valid(_WARD_PREF, std_basic, wards),
     )

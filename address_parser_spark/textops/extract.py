@@ -25,6 +25,11 @@ _TRIGGER = re.compile(
 # an abbreviation ("P.5", "TP.Hồ Chí Minh") and stays inside the span.
 _SPAN_END = re.compile(r"\.(?=\s|$)|[\n;!?]|$")
 
+# A '.' immediately preceded by a bare admin-type abbreviation token
+# ("TP. Hồ Chí Minh", "H. Thạnh Lộc", "X. Yên Đức") is part of the
+# abbreviation even when followed by a space — the span continues past it.
+_DOT_ABBREV = re.compile(r"\b(?:tp|tx|tt|p|q|h|x)$", re.IGNORECASE)
+
 # Administrative keywords for the density heuristic on untriggered lines.
 _ADMIN_KEYWORD = re.compile(
     r"\b(?:phường|xã|quận|huyện|tỉnh|thành\s*phố|thị\s*xã|thị\s*trấn"
@@ -56,8 +61,21 @@ def extract_mentions(text: str) -> list[str]:
 
     for m in _TRIGGER.finditer(text):
         start = m.end()
-        end_match = _SPAN_END.search(text, start)
-        end = end_match.start() if end_match else len(text)
+        pos = start
+        while True:
+            end_match = _SPAN_END.search(text, pos)
+            if end_match is None:
+                end = len(text)
+                break
+            end = end_match.start()
+            if (
+                end < len(text)
+                and text[end] == "."
+                and _DOT_ABBREV.search(text, start, end)
+            ):
+                pos = end + 1  # abbreviation dot — keep scanning
+                continue
+            break
         push(text[start:end])
         if len(out) >= MAX_MENTIONS_PER_DOC:
             return out

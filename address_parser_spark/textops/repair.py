@@ -194,12 +194,24 @@ def _infer_province(st: dict, district: Optional[str], ward: Optional[str]) -> O
     return None
 
 
-def lookup_province_info(st: dict, province_name: Optional[str]) -> Optional[dict]:
-    """Reference ``_lookup_province_info`` (:2034-2042)."""
+def lookup_province_info(
+    st: dict, province_name: Optional[str], prefer_new: Optional[bool] = None
+) -> Optional[dict]:
+    """Reference ``_lookup_province_info`` (:2034-2042), format-aware: when
+    the caller knows the winner is new-format, the NEW catalog's code is
+    returned for a name both catalogs share (old otherwise — the legacy
+    default)."""
     if not province_name:
         return None
     key = normalize_basic(province_name)
-    return st["province_lookup"].get(key) if key else None
+    info = st["province_lookup"].get(key) if key else None
+    if info is None:
+        return None
+    code = info.get("code")
+    new_code = info.get("new_code")
+    if (prefer_new and new_code is not None) or code is None:
+        code = new_code
+    return {"name": info["name"], "code": code}
 
 
 def lookup_district_info(st: dict, district_name: Optional[str],
@@ -266,6 +278,7 @@ def repair_components(
     province_code: Optional[str],
     district_code: Optional[str],
     ward_code: Optional[str],
+    is_new: Optional[bool] = None,
 ) -> tuple[str, str, str, Optional[str], Optional[str], Optional[str]]:
     """Full cascade: (p, d, w, p_code, d_code, w_code) after repair.
 
@@ -467,8 +480,9 @@ def repair_components(
         if inferred:
             province, province_code = inferred, None
 
-    # 8. code attachment via lookup cascade
-    p_info = lookup_province_info(st, province) if province else None
+    # 8. code attachment via lookup cascade (province codes differ between
+    # catalogs for the same name — attach the winner's-format code)
+    p_info = lookup_province_info(st, province, prefer_new=is_new) if province else None
     if not province:
         province_code = None
     elif province_code is None and p_info and p_info.get("code") is not None:
