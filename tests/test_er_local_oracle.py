@@ -1,151 +1,84 @@
-"""Driver-side oracle for the flagship ER pipeline (VERDICT r2 gap #5).
+"""Driver-side oracle for the flagship ER pipeline (VERDICT r2 gap #5,
+r3 gap #4).
 
 ``er_resolve_pages`` has no SQL oracle (the normalization/repair cascade is
-an ordered replacement program), so its driver check was rows-only. This
-test gives it a REAL invariant: the whole distributed dataflow — extraction
-explode, distinct-mention resolve, fact join, blocking keys, string edges,
-connected components — must reproduce a straight-line local computation:
+an ordered replacement program), so its check is this three-way agreement:
 
-- per-(url, mention) components via ``LocalParser`` (the same pure functions
-  the Arrow kernel runs — parity by construction for resolution, so any
-  mismatch isolates a DISTRIBUTED-plumbing bug);
-- clustering via a plain union-find over the same edge semantics: entity-key
-  anchors (entity_std-salted when ward-less) plus identical-(canon, dsig)
-  string edges.
-
-Deterministic: same synthetic corpus seed, no dependence on partitioning.
+1. live local oracle (``plans.er_oracle``: LocalParser + union-find) ==
+   the COMMITTED fixture ``tests/fixtures/er_expected_120.json`` (sha256
+   over the canonical serialization — regenerate with
+   ``scripts/gen_er_expected.py`` when renderer/parser semantics change);
+2. the distributed pipeline reproduces the fixture's rows + components;
+3. the pipeline's cluster PARTITION equals the fixture's, under more than
+   one input partitioning (cluster ids are implementation-defined; the
+   grouping is the contract).
 """
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 import pytest
 
+from address_parser_spark.plans.er_oracle import expected_to_canonical, local_er_expected
+
 N_PAGES = 120
+FIXTURE = Path(__file__).resolve().parent / "fixtures" / f"er_expected_{N_PAGES}.json"
 
 
-def _role_dsig(fmt: str, district, ward, std: str) -> str:
-    """Mirror pairs.with_blocking_keys digit_sig (role-tagged)."""
-    if district is not None or ward is not None:
-        return "|".join([fmt or "?", "r", district or "", ward or ""])
-    digits = " ".join(t for t in std.split() if t.isdigit())
-    return "|".join([fmt or "?", "u", digits])
-
-
-def _canon(entity_std: str) -> str:
-    return " ".join(sorted(set(entity_std.split())))
+@pytest.fixture(scope="module")
+def committed():
+    return json.loads(FIXTURE.read_text(encoding="utf-8"))
 
 
 @pytest.fixture(scope="module")
 def local_expected():
     from address_parser_spark.gazetteer import synth_gazetteer
-    from address_parser_spark.plans.local_parser import LocalParser
-    from address_parser_spark.sources.pages import synth_pages_local
-    from address_parser_spark.textops.extract import extract_mentions
-    from address_parser_spark.textops.normalize import normalize_advanced
 
-    gaz = synth_gazetteer()
-    lp = LocalParser(gaz)
-    pages, _ = synth_pages_local(gaz, N_PAGES)
+    return local_er_expected(synth_gazetteer(), N_PAGES)
 
-    rows = {}  # (url, mention) -> dict
-    for url, _ts, _html, text, lang in pages:
-        if lang != "vi":
-            continue
-        for mention in extract_mentions(text):
-            std = normalize_advanced(mention)
-            if len(std) < 2:
-                continue
-            key = (url, mention)
-            if key in rows:
-                continue
-            out = lp.process(mention)
-            if not (
-                out["node_id"] is not None
-                or out["province"] or out["district"] or out["ward"]
-            ):
-                continue
-            fmt = out["format"]
-            p = out["province"]["name"] if out["province"] else None
-            d = out["district"]["name"] if out["district"] else None
-            w = out["ward"]["name"] if out["ward"] else None
-            p_c = out["province"]["code"] if out["province"] else None
-            d_c = out["district"]["code"] if out["district"] else None
-            w_c = out["ward"]["code"] if out["ward"] else None
-            entity_key = "|".join(
-                [
-                    p_c or "",
-                    "" if out["is_new"] is True else (d_c or ""),
-                    w_c or "",
-                    {True: "true", False: "false"}.get(out["is_new"], "unknown"),
-                ]
-            )
-            rows[key] = {
-                "province": p,
-                "district": d,
-                "ward": w,
-                "street_address": out["street_address"],
-                "format": fmt,
-                "entity_key": entity_key,
-                "entity_std": out["entity_std"],
-                "ward_resolved": w is not None and w_c is not None,
-                "std": std,
-            }
 
-    # Union-find clustering over anchor + string-identity edges.
-    parent: dict = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
-    by_string: dict = {}
-    for key, r in rows.items():
-        anchor = (
-            ("ek", r["entity_key"])
-            if r["ward_resolved"]
-            else ("ek+std", r["entity_key"], r["entity_std"])
-        )
-        union(("m",) + key, anchor)
-        sig = (_canon(r["entity_std"]), _role_dsig(r["format"], r["district"], r["ward"], r["std"]))
-        by_string.setdefault(sig, []).append(key)
-    for members in by_string.values():
-        for other in members[1:]:
-            union(("m",) + members[0], ("m",) + other)
-
-    clusters: dict = {}
-    for key in rows:
-        clusters.setdefault(find(("m",) + key), set()).add(key)
-    partition = {frozenset(v) for v in clusters.values()}
-    return rows, partition
+def test_local_oracle_matches_committed_fixture(local_expected, committed):
+    rows, partition = local_expected
+    doc = expected_to_canonical(rows, partition)
+    assert doc["n_rows"] == committed["n_rows"]
+    assert doc["sha256"] == committed["sha256"], (
+        "live oracle diverged from the committed fixture — if the renderer "
+        "or parser semantics changed intentionally, regenerate with "
+        "scripts/gen_er_expected.py"
+    )
 
 
 @pytest.mark.slow
-def test_er_resolve_pages_matches_local_oracle(spark, local_expected):
-    from pyspark.sql import functions as F
+@pytest.mark.parametrize("partitions", [8, 3])
+def test_er_resolve_pages_matches_fixture(spark, committed, partitions):
+    from pyspark.sql import functions as F  # noqa: F401
 
     from address_parser_spark.gazetteer import synth_gazetteer
     from address_parser_spark.plans.pipeline import run_pipeline
     from address_parser_spark.sources.pages import synth_pages_spark
 
-    expected_rows, expected_partition = local_expected
+    expected_rows = {
+        (r[0], r[1]): dict(
+            zip(("province", "district", "ward", "street_address", "format", "entity_key"),
+                r[2:])
+        )
+        for r in committed["rows"]
+    }
+    expected_partition = {
+        frozenset(tuple(m) for m in cluster) for cluster in committed["partition"]
+    }
 
     gaz = synth_gazetteer()
-    pages = synth_pages_spark(spark, gaz, N_PAGES, partitions=8)
+    pages = synth_pages_spark(spark, gaz, N_PAGES, partitions=partitions)
     clustered = run_pipeline(spark, pages, gaz)
     got = clustered.select(
         "url", "mention", "province", "district", "ward",
         "street_address", "format", "entity_key", "cluster_id",
     ).collect()
 
-    # 1. row set + per-mention components match the local parse exactly
+    # 1. row set + per-mention components match the committed parse exactly
     got_keys = {(r["url"], r["mention"]) for r in got}
     assert got_keys == set(expected_rows), (
         f"row sets differ: {len(got_keys)} vs {len(expected_rows)}"
@@ -159,8 +92,7 @@ def test_er_resolve_pages_matches_local_oracle(spark, local_expected):
                 f"{r[field]!r} != {exp[field]!r}"
             )
 
-    # 2. the cluster PARTITION matches the union-find oracle (ids are
-    # implementation-defined; the grouping is the contract)
+    # 2. the cluster PARTITION matches, regardless of input partitioning
     spark_clusters: dict = {}
     for r in got:
         spark_clusters.setdefault(r["cluster_id"], set()).add((r["url"], r["mention"]))
