@@ -52,16 +52,21 @@ def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(resolved_master)
     confs = dict(DEFAULT_CONFS)
-    # Shuffle partitions track the session's parallelism with a floor of 32.
-    # The previous 4×cores heuristic was measured ACTIVELY harmful on local
-    # runs (150k-page pipeline at local[32]: 112 s at 128 partitions vs 51 s
-    # at 32 — four task waves of per-task overhead on every one of the
-    # pipeline's many small-byte shuffles, none of which need the width).
-    # On a real cluster the spark-submit conf wins; AQE coalescing plus the
-    # 64k floor handles residual sizing either way.
+    # Shuffle partitions = TWO task waves per core set (2×cores, floor 32).
+    # Measured on the 150k-page pipeline (round-4 campaign, pinned cores,
+    # quiet box — BASELINE.md "Measured scaling"):
+    #   32 cores: 32 parts (1 wave) 638 p/s, 64 parts (2 waves) 1358 p/s,
+    #             128 parts (4 waves) 579 p/s
+    #   16 cores: 32 parts (2 waves) 873 p/s, 64 parts (4 waves) 689 p/s
+    #    8 cores: 16 parts (2 waves) 423 p/s, 32 parts (floor)    461 p/s
+    # One wave has zero straggler slack and doubles per-task execution
+    # memory (spill/GC on the JVM-side shuffle chain — the r2/r3 "16→32
+    # collapse"); four waves re-pay per-task overhead on every small-byte
+    # CPU-heavy shuffle. On a real cluster the spark-submit conf wins; the
+    # same rule applies there: two waves per total executor-core count.
     cores = _master_cores(resolved_master)
     if cores:
-        confs["spark.sql.shuffle.partitions"] = str(max(cores, 32))
+        confs["spark.sql.shuffle.partitions"] = str(max(2 * cores, 32))
     else:
         confs["spark.sql.shuffle.partitions"] = "32"
     for key, value in {**confs, **(extra_confs or {})}.items():

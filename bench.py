@@ -8,8 +8,9 @@ result truncation). The ER pipeline runs on a deterministic synthetic pages
 corpus (seed-fixed, generated distributed) and reports its own docs/sec in
 the companion key "er_pages_per_sec".
 
-Scaling-efficiency evidence (same job at two parallelism levels) lives in
-scripts/scaling_bench.py; its numbers are recorded in BASELINE.md.
+Scaling-efficiency evidence (same job at two parallelism levels) is
+produced by scripts/scaling_bench.py; BASELINE.md §"Measured scaling"
+holds the recorded results table.
 """
 
 from __future__ import annotations

@@ -3,8 +3,8 @@
 Runs ``run_pipeline`` exactly the way scaling_bench does (warm-up run, then a
 measured run over pre-materialized parquet) but with the pipeline's own
 ``timings`` instrumentation on, so every eager barrier (checkpoint job), the
-CC loop, and the final lazy write are individually attributed. This is the
-measurement behind BASELINE.md's serial-fraction analysis.
+CC loop, and the final lazy write are individually attributed. The per-round
+stage-timing tables derived from it live in BASELINE.md §"Measured scaling".
 
 Usage: python scripts/profile_run.py <corpus_parquet> <warm_parquet> <cores>
 Prints one JSON line.

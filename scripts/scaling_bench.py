@@ -32,7 +32,8 @@ Protocol (hermetic):
    All raw reps are reported alongside.
 
 Usage: python scripts/scaling_bench.py [n_pages] [low_cores] [high_cores] [reps]
-Prints one JSON line; results are recorded in BASELINE.md.
+Prints one JSON line; the per-round campaign results live in BASELINE.md
+§"Measured scaling".
 """
 
 from __future__ import annotations
@@ -100,9 +101,15 @@ def main() -> None:
 
         results = {}
         raw = {low: [], high: []}
-        for cores in (low, high):
-            pin = ["taskset", "-c", f"0-{cores - 1}"]
-            for _ in range(reps):
+        # Reps INTERLEAVE the two levels (low, high, low, high, …): the
+        # sandbox host has multi-minute steal episodes (measured 2× swings
+        # on identical configs), and running all reps of one level inside
+        # one episode would bias the ratio. Interleaving spreads both levels
+        # across the same wall-clock window; best-of-N then approximates
+        # each level's uncontended capability.
+        for _ in range(reps):
+            for cores in (low, high):
+                pin = ["taskset", "-c", f"0-{cores - 1}"]
                 out = subprocess.run(
                     pin + [sys.executable, "-c", _RUN_SNIPPET.format(
                         repo=str(REPO), cores=cores, corpus=corpus, warm=warm, n_pages=n_pages)],
@@ -112,6 +119,7 @@ def main() -> None:
                 if not lines:
                     raise RuntimeError(f"{cores}-core run failed:\n{out.stderr[-2000:]}")
                 raw[cores].append(json.loads(lines[-1]))
+        for cores in (low, high):
             results[cores] = max(raw[cores], key=lambda r: r["pages_per_sec"])
 
     factor = high / low
