@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from address_parser_spark.operators.partitioning import fan_out
 from address_parser_spark.operators.textquality import _md5_60, tokens_col
 
 MINHASH_P = 2147483647  # Mersenne 2^31-1: a·h+b < 2^63 under ANSI arithmetic
@@ -48,7 +49,13 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 
 
 def word_shingles_col(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of lowercased whitespace-split text."""
+    """Distinct word k-shingles of lowercased whitespace-split text.
+
+    NOTE: the token array is inlined in the per-position transform lambda, so
+    Catalyst re-tokenizes the text once per shingle position (no loop-invariant
+    hoisting inside higher-order functions). Fine for one-off expressions over
+    short strings; every data-path caller should use ``with_word_shingles``,
+    which stages the token array as a real column first."""
     toks = tokens_col(F.lower(text))
     n = F.size(toks)
     sh = F.when(
@@ -58,10 +65,30 @@ def word_shingles_col(text: Column, k: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def with_word_shingles(df: DataFrame, text_col: str, k: int = 3, out: str = "_sh") -> DataFrame:
+    """``df`` + a distinct word-k-shingle array column ``out``.
+
+    Tokens are staged as a REAL column before the shingle transform: the
+    lambda body then references a cheap attribute instead of re-running
+    split+filter per shingle position (CollapseProject leaves multi-referenced
+    non-trivial aliases staged — the same trap ``fingerprints`` documents)."""
+    toks = F.col("_wsh_toks")
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.withColumn("_wsh_toks", tokens_col(F.lower(F.col(text_col))))
+        .withColumn(out, F.array_distinct(sh))
+        .drop("_wsh_toks")
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: (doc_id, content hash, group size, is_canonical) — the
     canonical representative is the minimum doc_id per digest."""
-    h = docs.select("doc_id", F.md5(F.lower(F.col(text_col))).alias("content_md5"))
+    h = fan_out(docs).select("doc_id", F.md5(F.lower(F.col(text_col))).alias("content_md5"))
     groups = h.groupBy("content_md5").agg(
         F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("canonical_doc_id")
     )
@@ -81,15 +108,14 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
     default md5 shingle hashing; ``fast_hash=True`` switches to xxhash64 for
     the production/bench path (signatures differ but dedup semantics and the
     dataflow shape are identical)."""
-    shingles = word_shingles_col(F.col(text_col), k)
     # Stage the hashed shingles as a REAL column: a Column is an expression
     # tree, so embedding `hashed` directly in the 8 permutation structs would
     # re-generate and re-hash the shingles 8× per row (this was the single
     # slowest bench entry). pmod maps signed hashes into [0, P) so xxhash64
     # and the unsigned md5-60 ints behave identically under the permutation.
-    staged = docs.withColumn(
+    staged = with_word_shingles(fan_out(docs), text_col, k, out="_wsh_sh").withColumn(
         "_sh_hashed",
-        F.transform(shingles, lambda s: F.pmod(_shingle_hash(s, fast_hash), F.lit(MINHASH_P))),
+        F.transform(F.col("_wsh_sh"), lambda s: F.pmod(_shingle_hash(s, fast_hash), F.lit(MINHASH_P))),
     )
     per_perm = [
         F.struct(
@@ -118,7 +144,19 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
     bands = (
         sigs.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.concat_ws(",", F.collect_list(F.col("minhash").cast("string"))).alias("bkey_raw"))
+        # collect_list order is not guaranteed after a shuffle merge, so the
+        # band key sorts its (h_idx, minhash) members — deterministic under
+        # any upstream partitioning.
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("h_idx").cast("string"), F.col("minhash").cast("string"))
+                    )
+                ),
+                ",",
+            ).alias("bkey_raw")
+        )
         .select("doc_id", "band", F.md5(F.concat_ws("#", F.col("band").cast("string"), "bkey_raw")).alias("bkey"))
     )
     sizes = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("n"))
@@ -137,7 +175,7 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
 def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over word tokens (md5-hashed; bit b of the fingerprint
     is the sign of the per-bit vote sum)."""
-    toks = docs.select("doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
+    toks = fan_out(docs).select("doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
     hashed = toks.select("doc_id", _md5_60(F.col("tok")).alias("h"))
     votes = [
         F.sum(
@@ -168,8 +206,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     corpus-hot shingles" — which is also the better dedup signal: boilerplate
     shared by everything carries no near-duplicate evidence. Inspect the drop
     with ``dropped_shingles`` (no silent caps)."""
-    raw_sh = docs.select(
-        "doc_id", F.explode(word_shingles_col(F.col(text_col), k)).alias("sh")
+    raw_sh = with_word_shingles(fan_out(docs), text_col, k).select(
+        "doc_id", F.explode("_sh").alias("sh")
     ).select("doc_id", _shingle_hash(F.col("sh"), fast_hash).alias("shh"))
     df_counts = raw_sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
     with_sh = raw_sh.join(
@@ -199,8 +237,8 @@ def dropped_shingles(docs: DataFrame, text_col: str = "text", k: int = 3,
     """Shingle hashes excluded from ``ngram_jaccard_pairs`` by the document-
     frequency cap — surfaced for lineage/metrics (no silent caps). One row per
     dropped shingle hash with its document frequency."""
-    raw_sh = docs.select(
-        "doc_id", F.explode(word_shingles_col(F.col(text_col), k)).alias("sh")
+    raw_sh = with_word_shingles(fan_out(docs), text_col, k).select(
+        "doc_id", F.explode("_sh").alias("sh")
     ).select("doc_id", _shingle_hash(F.col("sh"), fast_hash).alias("shh"))
     return raw_sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
 
@@ -217,7 +255,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     )
     norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     # per-vector norm computed ONCE scan-side, not once per candidate pair
-    e = embeddings.select("vec_id", vec.alias("v"), bucket.alias("bucket")).withColumn("nrm", norm)
+    e = fan_out(embeddings).select("vec_id", vec.alias("v"), bucket.alias("bucket")).withColumn("nrm", norm)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

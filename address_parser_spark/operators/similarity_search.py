@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from address_parser_spark.operators.partitioning import fan_out
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -34,8 +36,12 @@ def _norm(c: Column) -> Column:
 
 def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (excluding itself)."""
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+    # fan_out the scored (candidate) side only; the query side is a pushed-down
+    # point filter on the raw scan and stays shuffle-free.
+    e = fan_out(embeddings).select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    q = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v")).filter(
+        F.col("vec_id").isin(query_ids)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
@@ -59,10 +65,12 @@ def sign_bucket_col(vec: Column, bucket_dims: int) -> Column:
 def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 3,
                  bucket_dims: int = 4) -> DataFrame:
     """LSH-bucketed ANN: candidates restricted to the query's sign bucket."""
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
+    e = fan_out(embeddings).select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
         "bucket", sign_bucket_col(F.col("v"), bucket_dims)
     )
-    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+    q = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
+        "bucket", sign_bucket_col(F.col("v"), bucket_dims)
+    ).filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
     scored = (

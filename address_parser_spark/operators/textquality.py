@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from address_parser_spark.operators.partitioning import fan_out
+
 # Language-ID stopword profiles (tiny, deterministic; the operator contract is
 # the argmax rule, not linguistic accuracy — real deployments plug in fastText
 # or a char-n-gram profile table on the same dataflow).
@@ -41,9 +43,13 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Tokenizes LOWERCASED text — same as detect_language / word_shingles_col
     and the DuckDB oracle — so distinct-token counts are case-insensitive on
-    any input, not just all-lowercase fixtures."""
-    toks = tokens_col(F.lower(F.col(text_col)))
-    return docs.select(
+    any input, not just all-lowercase fixtures.
+
+    The token array is staged as a real column: it feeds three output
+    expressions, and an inlined Column tree re-splits the text per consumer."""
+    toks = F.col("_tq_toks")
+    staged = fan_out(docs).withColumn("_tq_toks", tokens_col(F.lower(F.col(text_col))))
+    return staged.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -60,8 +66,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: alpha ratio, stopword ratio, repetition
     ratio; composite flag. Classic pretraining-corpus filters (Gopher-style
     rules) as pure column math. Tokenizes lowercased text (mirrors the
-    oracle's lower(text) tokenization)."""
-    toks = tokens_col(F.lower(F.col(text_col)))
+    oracle's lower(text) tokenization). Token array staged (see token_stats)."""
+    toks = F.col("_tq_toks")
+    staged = fan_out(docs).withColumn("_tq_toks", tokens_col(F.lower(F.col(text_col))))
     n_tokens = F.greatest(F.size(toks), F.lit(1))
     alpha_ratio = F.round(
         F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
@@ -70,7 +77,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS_EN])))
     repetition = F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tokens, 4)
-    return docs.select(
+    return staged.select(
         "doc_id",
         alpha_ratio.alias("alpha_ratio"),
         stop_hits.alias("stopword_hits"),
@@ -84,8 +91,10 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: argmax of per-language hit counts over
     whitespace tokens; ties (or zero hits) → 'und'. Deterministic tie-break:
-    language name ascending."""
-    toks = tokens_col(F.lower(F.col(text_col)))
+    language name ascending. Token array staged (see token_stats) — the five
+    per-language filters would otherwise each re-split the text."""
+    toks = F.col("_tq_toks")
+    staged = fan_out(docs).withColumn("_tq_toks", tokens_col(F.lower(F.col(text_col))))
 
     def _in_words(words):
         arr = F.array(*[F.lit(w) for w in words])
@@ -111,7 +120,7 @@ def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for i, s in enumerate(scores)
     ]
     best = F.array_max(F.array(*ranked))
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
         best["hits"].alias("lang_hits"),
@@ -137,7 +146,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text", shingle_k: int = 3,
     toks = F.col("_fp_toks")
     n = F.size(toks)
     staged = (
-        docs
+        fan_out(docs)
         .withColumn("_fp_norm", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
         .withColumn("_fp_toks", tokens_col(norm))
         .withColumn(

@@ -96,6 +96,19 @@ def main() -> None:
     queries = {**entrymod.queries(), **_fast_overrides()}
     timings: dict[str, float] = {}
     total = 0.0
+
+    # JVM/codegen warm-up, reported as its own counted entry: without it the
+    # first query absorbs session startup + whole-stage-codegen compilation
+    # (pricing_summary measured ~8 s warm-up-in vs ~2 s true cost) and
+    # per-query numbers are not comparable across orderings.
+    start = time.monotonic()
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").groupBy().count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timings["warmup"] = round(time.monotonic() - start, 3)
+    total += timings["warmup"]
+
     for name in BENCH_QUERIES:
         fn = queries[name]
         start = time.monotonic()
