@@ -214,6 +214,34 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding end-to-end: signatures → sorted band keys → bucket join →
+    candidate pairs with shared-band counts (deterministic band keys make the
+    whole chain SQL-expressible)."""
+    from address_parser_spark.operators.dedup import minhash_band_pairs
+
+    return minhash_band_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed embedding-cosine near-dup pairs. Threshold scaled to
+    the synthetic embeddings (random vectors — in-bucket cosines top out
+    ~0.5), exercising the exact same bucket-join dataflow as production."""
+    from address_parser_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.30)
+
+
+def q_dropped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Jaccard document-frequency-cap diagnostic (no silent caps): every
+    shingle hash the cap would drop, with its document frequency. max_df
+    scaled to the sf0.01 corpus (max observed df is 7) so the query exercises
+    the drop path."""
+    from address_parser_spark.operators.dedup import dropped_shingles
+
+    return dropped_shingles(_t(spark, sf_dir, "documents"), max_df=5)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from address_parser_spark.operators.dedup import simhash32
 
@@ -325,6 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "dropped_shingles": q_dropped_shingles,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
@@ -543,6 +574,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_min(list_transform(hs,
                        h -> (P.a * (h % 2147483647) + P.b) % 2147483647)), 2147483647) AS minhash
             FROM hashed, (VALUES {_MINHASH_PARAMS_SQL}) AS P(h_idx, a, b)
+        """,
+        "minhash_band_pairs": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+            hashed AS (SELECT doc_id,
+                              list_transform(shingles, s -> {_H60.format(x='s')}) AS hs
+                       FROM sh),
+            sigs AS (
+                SELECT doc_id, P.h_idx,
+                       coalesce(list_min(list_transform(hs,
+                           h -> (P.a * (h % 2147483647) + P.b) % 2147483647)), 2147483647) AS minhash
+                FROM hashed, (VALUES {_MINHASH_PARAMS_SQL}) AS P(h_idx, a, b)
+            ),
+            bands AS (
+                SELECT doc_id, (h_idx // 2) AS band,
+                       array_to_string(list_sort(list(h_idx::VARCHAR || ':' || minhash::VARCHAR)),
+                                       ',') AS bkey_raw
+                FROM sigs GROUP BY doc_id, band
+            ),
+            ok AS (
+                SELECT band, bkey_raw FROM bands
+                GROUP BY band, bkey_raw HAVING count(*) BETWEEN 2 AND 50
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+            FROM bands a
+            JOIN ok ON a.band = ok.band AND a.bkey_raw = ok.bkey_raw
+            JOIN bands b ON b.band = a.band AND b.bkey_raw = a.bkey_raw
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "embedding_near_dups": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                       concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.30
+        """,
+        "dropped_shingles": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+            hashed_raw AS (SELECT doc_id, {_H60.format(x='s')} AS shh FROM sh)
+            SELECT shh, count(*) AS df FROM hashed_raw GROUP BY shh HAVING count(*) > 5
         """,
         "simhash": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),

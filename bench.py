@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "fingerprints",
     "dedup_exact",
     "minhash_signatures",
+    "minhash_band_pairs",
+    "embedding_near_dups",
     "simhash",
     "jaccard_pairs",
     "cosine_topk",
@@ -58,7 +60,11 @@ def _fast_overrides():
     from pyspark.sql import functions as F
 
     from address_parser_spark.operators.cluster import connected_components
-    from address_parser_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
+    from address_parser_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
     from address_parser_spark.operators.textquality import fingerprints
 
     def docs(spark, sf_dir):
@@ -66,6 +72,7 @@ def _fast_overrides():
 
     return {
         "minhash_signatures": lambda s, d: minhash_signatures(docs(s, d), fast_hash=True),
+        "minhash_band_pairs": lambda s, d: minhash_band_pairs(docs(s, d), fast_hash=True),
         "fingerprints": lambda s, d: fingerprints(docs(s, d), fast_hash=True),
         "jaccard_pairs": lambda s, d: ngram_jaccard_pairs(docs(s, d), threshold=0.12, fast_hash=True),
         "connected_components": lambda s, d: connected_components(
