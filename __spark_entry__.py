@@ -16,8 +16,14 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
+
+_ER_FIXTURE_JSONL = str(
+    Path(__file__).resolve().parent / "tests" / "fixtures" / "er_expected_120_rows.jsonl"
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -295,8 +301,13 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_er_resolve_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Vietnamese ER pipeline itself (no SQL oracle — normalization is an
-    ordered replacement cascade; correctness gated by pytest F1 ≥ 0.99)."""
+    """The Vietnamese ER pipeline itself. The SQL cascade isn't expressible
+    in ANSI SQL, so the oracle is the committed expected-output fixture
+    (``tests/fixtures/er_expected_120_rows.jsonl`` — LocalParser + union-find,
+    an independent straight-line implementation; see plans/er_oracle.py).
+    Cluster labels are implementation-defined, so the comparable output
+    replaces cluster_id with ``cluster_rep`` — the cluster's lexicographically
+    smallest "url\\nmention" member (deterministic under any partitioning)."""
     from address_parser_spark.gazetteer import synth_gazetteer
     from address_parser_spark.plans.pipeline import run_pipeline
     from address_parser_spark.sources.pages import synth_pages_spark
@@ -304,9 +315,12 @@ def q_er_resolve_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaz = synth_gazetteer()
     pages = synth_pages_spark(spark, gaz, 120, partitions=8)
     clustered = run_pipeline(spark, pages, gaz)
-    return clustered.select(
+    reps = clustered.groupBy("cluster_id").agg(
+        F.min(F.concat_ws("\n", "url", "mention")).alias("cluster_rep")
+    )
+    return clustered.join(F.broadcast(reps), "cluster_id").select(
         "url", "mention", "std", "province", "district", "ward",
-        "street_address", "format", "entity_key", "cluster_id",
+        "street_address", "format", "entity_key", "cluster_rep",
     )
 
 
@@ -702,5 +716,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
             )
             SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id
+        """,
+        # Flagship: the normalization cascade isn't ANSI-SQL-expressible, so
+        # the oracle is the committed expected-output fixture computed by an
+        # INDEPENDENT straight-line implementation (LocalParser + union-find,
+        # plans/er_oracle.py; regenerate via scripts/gen_er_expected.py).
+        # tests/test_er_local_oracle.py pins the fixture to the live local
+        # oracle by sha256 and to the distributed pipeline under two input
+        # partitionings.
+        "er_resolve_pages": f"""
+            SELECT url, mention, std, province, district, ward,
+                   street_address, format, entity_key, cluster_rep
+            FROM read_json_auto('{_ER_FIXTURE_JSONL}',
+                                format='newline_delimited',
+                                columns={{
+                                    'url': 'VARCHAR', 'mention': 'VARCHAR',
+                                    'std': 'VARCHAR', 'province': 'VARCHAR',
+                                    'district': 'VARCHAR', 'ward': 'VARCHAR',
+                                    'street_address': 'VARCHAR',
+                                    'format': 'VARCHAR',
+                                    'entity_key': 'VARCHAR',
+                                    'cluster_rep': 'VARCHAR'}})
         """,
     }

@@ -25,11 +25,21 @@ from address_parser_spark.plans.er_oracle import expected_to_canonical, local_er
 
 N_PAGES = 120
 FIXTURE = Path(__file__).resolve().parent / "fixtures" / f"er_expected_{N_PAGES}.json"
+FIXTURE_JSONL = FIXTURE.with_name(f"er_expected_{N_PAGES}_rows.jsonl")
 
 
 @pytest.fixture(scope="module")
 def committed():
     return json.loads(FIXTURE.read_text(encoding="utf-8"))
+
+
+@pytest.fixture(scope="module")
+def committed_driver_rows():
+    return [
+        json.loads(line)
+        for line in FIXTURE_JSONL.read_text(encoding="utf-8").splitlines()
+        if line
+    ]
 
 
 @pytest.fixture(scope="module")
@@ -48,6 +58,43 @@ def test_local_oracle_matches_committed_fixture(local_expected, committed):
         "or parser semantics changed intentionally, regenerate with "
         "scripts/gen_er_expected.py"
     )
+
+
+def test_driver_jsonl_fixture_consistent_with_canonical(
+    local_expected, committed, committed_driver_rows
+):
+    """The DuckDB-oracle JSONL (driver row shape: +std, cluster_id →
+    cluster_rep) is the same frozen output as the canonical fixture."""
+    from address_parser_spark.plans.er_oracle import expected_to_driver_rows
+
+    rows, partition = local_expected
+    assert expected_to_driver_rows(rows, partition) == committed_driver_rows
+    # same row set as the canonical fixture, same cluster partition
+    assert {(r["url"], r["mention"]) for r in committed_driver_rows} == {
+        (r[0], r[1]) for r in committed["rows"]
+    }
+    by_rep: dict = {}
+    for r in committed_driver_rows:
+        by_rep.setdefault(r["cluster_rep"], set()).add((r["url"], r["mention"]))
+    assert {frozenset(v) for v in by_rep.values()} == {
+        frozenset(tuple(m) for m in cluster) for cluster in committed["partition"]
+    }
+    # every rep is the least member of its own cluster
+    for rep, members in by_rep.items():
+        assert rep == min(f"{u}\n{m}" for u, m in members)
+
+
+@pytest.mark.slow
+def test_driver_query_equals_jsonl_fixture(spark, committed_driver_rows):
+    """Exactly what the driver compares: q_er_resolve_pages output ==
+    the committed JSONL oracle, all ten columns, value-exact."""
+    import __spark_entry__ as entrymod
+
+    got = sorted(
+        (r.asDict() for r in entrymod.q_er_resolve_pages(spark, "unused").collect()),
+        key=lambda r: (r["url"], r["mention"]),
+    )
+    assert got == committed_driver_rows
 
 
 @pytest.mark.slow
