@@ -1,0 +1,119 @@
+"""Physical-plan audits: assert the scale-critical plan properties the
+queries were designed around, so a regression that silently degrades the
+plan (lost pushdown, broadcast→sort-merge flip, accidental cartesian,
+codegen break) fails CI instead of only showing up as a 100×-scale slowdown.
+
+What each audit encodes (SURVEY §4 "Optimizer & physical execution"):
+- filters and column pruning must reach the parquet scan (PushedFilters /
+  ReadSchema) — at 100 TB an unpruned scan IS the job cost;
+- dimension joins must broadcast (no shuffle of the big side);
+- global top-K must be TakeOrderedAndProject (per-partition K + driver
+  merge), never a full Sort + single-partition Exchange;
+- aggregations must have a map-side partial before the exchange;
+- no driver query may plan a CartesianProduct;
+- the hot relational operators must sit inside WholeStageCodegen spans.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """The physical plan as a string (what df.explain(mode) prints)."""
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_pricing_summary_scan_is_pruned_and_filter_pushed(spark, queries):
+    plan = plan_of(queries["pricing_summary"](spark, SF))
+    # The shipdate predicate must reach the parquet reader...
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan must read only the 6 referenced columns, not the
+    # full 16-column lineitem row (ReadSchema is the scan-level projection).
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_comment", "l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in read_schema
+    # Map-side partial agg before the exchange: two HashAggregate nodes.
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    # AQE formatted plans don't annotate codegen; codegen mode compiles the
+    # stages and reports the fused subtrees.
+    assert "WholeStageCodegen" in plan_of(queries["pricing_summary"](spark, SF), "codegen")
+
+
+def test_hierarchy_rollup_dims_broadcast(spark, queries):
+    plan = plan_of(queries["hierarchy_rollup"](spark, SF))
+    # nation and region are dimension tables: both joins must broadcast —
+    # a sort-merge here would shuffle the full customer table twice.
+    assert len(re.findall(r"[+:]- BroadcastHashJoin", plan)) == 2
+    assert "SortMergeJoin" not in plan
+    # exactly ONE shuffle exchange (the final groupBy); the joins move only
+    # the broadcast sides
+    assert len(re.findall(r"[+:]- Exchange \(", plan)) == 1
+
+
+def test_semi_and_anti_join_shapes(spark, queries):
+    semi = plan_of(queries["semi_join"](spark, SF))
+    assert "LeftSemi" in semi
+    # the priority predicate must be pushed into the orders scan, not
+    # evaluated post-join
+    assert "EqualTo(o_orderpriority,1-URGENT)" in semi
+    anti = plan_of(queries["anti_join"](spark, SF))
+    assert "LeftAnti" in anti
+
+
+def test_top_events_is_take_ordered(spark, queries):
+    plan = plan_of(queries["top_events"](spark, SF))
+    # global top-20 must be per-partition top-K + driver merge; a full sort
+    # would shuffle the whole events table to one partition
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_events_hourly_has_partial_agg(spark, queries):
+    plan = plan_of(queries["events_hourly"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "WholeStageCodegen" in plan_of(queries["events_hourly"](spark, SF), "codegen")
+
+
+def test_no_driver_query_plans_a_cartesian(spark, queries):
+    # er_resolve_pages executes eagerly (localCheckpoint inside the
+    # pipeline), so its plan is audited by the pipeline's own tests.
+    for name, fn in queries.items():
+        if name == "er_resolve_pages":
+            continue
+        plan = plan_of(fn(spark, SF), mode="simple")
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_minhash_band_pairs_joins_on_band_key(spark, queries):
+    # the LSH bucket self-join must be an equi-join on (band, key) — i.e. a
+    # hash-partitioned exchange — not a nested-loop over all pairs
+    plan = plan_of(queries["minhash_band_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcasts_the_query_side(spark, queries):
+    # 8 query vectors vs the full corpus: the tiny side must broadcast so
+    # the corpus is scanned in place, never shuffled
+    plan = plan_of(queries["cosine_topk"](spark, SF))
+    assert "Broadcast" in plan
+    assert "Exchange rangepartitioning" not in plan
