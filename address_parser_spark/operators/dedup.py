@@ -8,16 +8,18 @@ operator both stays in whole-stage codegen and has an exact DuckDB oracle.
 Scale shape notes (the part that matters at 100 TB):
 - exact dedup: one hash agg on a 16-byte digest — shuffle width is (digest,
   doc_id), partial-agg'd map-side.
-- MinHash banding: signatures are computed scan-side (no shuffle); the only
-  shuffle is the band-key groupBy whose fan-out is bounded by band count;
-  oversized buckets get capped exactly like pairs.candidate_pairs.
-- Jaccard pairs: shingle explode → equi-join on shingle hash → per-pair
-  intersection counts (the same distinct-gram trick as the blocking join;
-  union size = |A|+|B|−∩ needs no second pass). A shingle shared by n docs
-  yields n²/2 join rows, so globally-hot shingles (document frequency >
-  ``max_df`` — boilerplate headers, licence blurbs) are DROPPED before the
-  self-join from both the intersections and the per-doc set sizes; the drop
-  is surfaced by ``dropped_shingles`` (no silent caps).
+- MinHash banding: signatures AND band keys are computed scan-side (no
+  shuffle); the only shuffles are the band-key groupBy (fan-out bounded by
+  band count) and the pair agg; oversized buckets get capped exactly like
+  pairs.candidate_pairs, and pairs are generated JVM-side from each
+  bucket's member list — never a bucket self-join.
+- Jaccard pairs: shingle explode → ONE hash-agg by shingle hash collecting
+  the doc list → JVM-side pair combinations → per-pair intersection counts
+  (union size = |A|+|B|−∩ needs no second pass). A shingle shared by n docs
+  yields n²/2 pairs, so globally-hot shingles (document frequency >
+  ``max_df`` — boilerplate headers, licence blurbs) are DROPPED before any
+  pair exists, from both the intersections and the per-doc set sizes; the
+  drop is surfaced by ``dropped_shingles`` (no silent caps).
 - hash functions: md5-derived 60-bit ints by default (bit-identical to the
   DuckDB oracles); pass ``fast_hash=True`` for xxhash64 on the production /
   bench path (~3× faster, Spark-only — same dataflow shape).
@@ -101,13 +103,10 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
-                       fast_hash: bool = False) -> DataFrame:
-    """8-permutation MinHash signature per document, exploded one row per
-    hash index: (doc_id, h_idx, minhash). Cross-engine deterministic with the
-    default md5 shingle hashing; ``fast_hash=True`` switches to xxhash64 for
-    the production/bench path (signatures differ but dedup semantics and the
-    dataflow shape are identical)."""
+def _minhash_sig_structs(docs: DataFrame, text_col: str, k: int,
+                         fast_hash: bool) -> DataFrame:
+    """(doc_id, _sig array<struct<h_idx,minhash>>) — the full signature
+    computed map-side in one pass over the scan; no shuffle."""
     # Stage the hashed shingles as a REAL column: a Column is an expression
     # tree, so embedding `hashed` directly in the 8 permutation structs would
     # re-generate and re-hash the shingles 8× per row (this was the single
@@ -132,41 +131,81 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
         )
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return staged.select("doc_id", F.explode(F.array(*per_perm)).alias("s")).select(
-        "doc_id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash")
+    return staged.select("doc_id", F.array(*per_perm).alias("_sig"))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
+                       fast_hash: bool = False) -> DataFrame:
+    """8-permutation MinHash signature per document, exploded one row per
+    hash index: (doc_id, h_idx, minhash). Cross-engine deterministic with the
+    default md5 shingle hashing; ``fast_hash=True`` switches to xxhash64 for
+    the production/bench path (signatures differ but dedup semantics and the
+    dataflow shape are identical)."""
+    return _minhash_sig_structs(docs, text_col, k, fast_hash).select(
+        "doc_id", F.explode("_sig").alias("s")
+    ).select("doc_id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash"))
+
+
+def _doc_pairs_per_bucket(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
+    """All (doc_a < doc_b) pairs from each row's SORTED doc_id array,
+    generated JVM-side (``transform × slice`` combinations — the same
+    two-shuffle shape as pairs.candidate_pairs, no self-join). Duplicate
+    ids inside one array contribute multiplicity, same-doc pairs are
+    skipped."""
+    ds = F.col(docs_col)
+    return (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ds,
+                        lambda x, i: F.transform(
+                            F.slice(ds, i + 2, F.size(ds)),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
     )
 
 
 def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: int = 2,
                        max_block: int = 50, fast_hash: bool = False) -> DataFrame:
-    """LSH banding → candidate near-dup pairs (doc_a < doc_b, shared bands)."""
-    sigs = minhash_signatures(docs, text_col, fast_hash=fast_hash)
-    bands = (
-        sigs.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        # collect_list order is not guaranteed after a shuffle merge, so the
-        # band key sorts its (h_idx, minhash) members — deterministic under
-        # any upstream partitioning.
-        .agg(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(
-                        F.concat_ws(":", F.col("h_idx").cast("string"), F.col("minhash").cast("string"))
-                    )
-                ),
-                ",",
-            ).alias("bkey_raw")
+    """LSH banding → candidate near-dup pairs (doc_a < doc_b, shared bands).
+
+    TWO shuffles total: band keys are computed map-side from the per-doc
+    signature array (the previous formulation exploded the signature and
+    shuffled 8 rows/doc just to regroup them), then one hash-agg by band key
+    collects each bucket's members (bounded by ``max_block``) and one
+    hash-agg by pair counts shared bands."""
+    sig = _minhash_sig_structs(docs, text_col, 3, fast_hash)
+    n_bands = len(MINHASH_PARAMS) // rows_per_band
+    # Per band: md5("<band>#<sorted 'h_idx:minhash' members joined by ','>")
+    # — byte-identical to the previous shuffle-built key (and the oracle).
+    band_keys = []
+    for j in range(n_bands):
+        members = F.array(*[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.element_at(F.col("_sig"), i + 1)["minhash"].cast("string"),
+            )
+            for i in range(j * rows_per_band, (j + 1) * rows_per_band)
+        ])
+        band_keys.append(
+            F.md5(F.concat_ws("#", F.lit(str(j)), F.array_join(F.array_sort(members), ",")))
         )
-        .select("doc_id", "band", F.md5(F.concat_ws("#", F.col("band").cast("string"), "bkey_raw")).alias("bkey"))
+    bands = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("bkey"))
+    grouped = (
+        bands.groupBy("bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_block))
     )
-    sizes = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("n"))
-    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_block)).select("bkey")
-    small = bands.join(ok, "bkey")
-    a = small.select("bkey", F.col("doc_id").alias("doc_a"))
-    b = small.select("bkey", F.col("doc_id").alias("doc_b"))
     return (
-        a.join(b, "bkey")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _doc_pairs_per_bucket(grouped)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
@@ -195,8 +234,9 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
                         threshold: float = 0.2, max_df: int = DEFAULT_MAX_DF,
                         fast_hash: bool = False) -> DataFrame:
-    """Word-k-shingle Jaccard near-dup pairs: explode → equi-join on the
-    shingle hash → intersection counts; union = |A|+|B|−∩ (no second pass).
+    """Word-k-shingle Jaccard near-dup pairs: explode → hash-agg by shingle
+    → JVM-side pair combinations → intersection counts; union = |A|+|B|−∩
+    (no second pass, no self-join).
 
     Shingles with document frequency > ``max_df`` are dropped globally BEFORE
     the self-join (a shingle in n docs produces n²/2 join rows — one piece of
@@ -209,16 +249,25 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     raw_sh = with_word_shingles(fan_out(docs), text_col, k).select(
         "doc_id", F.explode("_sh").alias("sh")
     ).select("doc_id", _shingle_hash(F.col("sh"), fast_hash).alias("shh"))
-    df_counts = raw_sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
-    with_sh = raw_sh.join(
-        df_counts.filter(F.col("df") <= max_df).select("shh"), "shh"
+    # ONE shuffle of the shingle instances: per shingle hash, the sorted
+    # multiset of containing docs. df = instance count (size of the list),
+    # exactly as the previous count(*)-then-semi-join formulation — which
+    # paid three shuffles over the exploded shingles and re-evaluated the
+    # shingling per consumer (it was 75% of the dedup-sweep profile).
+    grouped = (
+        raw_sh.groupBy("shh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= max_df)
     )
-    sizes = with_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = with_sh.select(F.col("doc_id").alias("doc_a"), "shh")
-    b = with_sh.select(F.col("doc_id").alias("doc_b"), "shh")
+    # per-doc surviving-shingle counts (compact post-shuffle longs, the
+    # exchange below is reused for the pair branch)
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        a.join(b, "shh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _doc_pairs_per_bucket(grouped.filter(F.size("docs") >= 2))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
