@@ -5,7 +5,8 @@ north_rule's headline job): deterministic corpus generated ONCE to parquet;
 each level taskset-pinned to exactly N CPUs in a fresh JVM; full-shape
 warm-up on a slice; reps interleaved (low, high, low, high, …) with
 best-of-N per level to approximate uncontended capability on the shared
-sandbox host. Results are recorded in BASELINE.md §"Measured scaling".
+sandbox host. Results are recorded in BASELINE.md §"Dedup-family scaling"
+with raw campaign logs committed under bench_logs/.
 
 The measured job is the representative dedup sweep over the synthetic
 documents corpus (sources.documents.synth_documents_spark): exact dedup +
