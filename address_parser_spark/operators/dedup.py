@@ -39,10 +39,6 @@ MINHASH_P = 2147483647  # Mersenne 2^31-1: a·h+b < 2^63 under ANSI arithmetic
 DEFAULT_MAX_DF = 200  # shingle document-frequency cap for the Jaccard self-join
 
 
-def _shingle_hash(col: Column, fast_hash: bool) -> Column:
-    """60-bit md5 (cross-engine, oracle-checkable) or xxhash64 (fast path)."""
-    return F.xxhash64(col) if fast_hash else _md5_60(col)
-
 # Deterministic (a, b) parameter table shared with the SQL oracle.
 MINHASH_PARAMS: list[tuple[int, int]] = [
     ((17 * (j + 1) ** 2 + 31 * (j + 1) + 7) % MINHASH_P or 1, (101 * (j + 1) ** 3 + 13) % MINHASH_P)
@@ -87,6 +83,39 @@ def with_word_shingles(df: DataFrame, text_col: str, k: int = 3, out: str = "_sh
     )
 
 
+def with_hashed_shingles(df: DataFrame, text_col: str, k: int, fast_hash: bool,
+                         out: str = "_shh_arr") -> DataFrame:
+    """``df`` + an array<long> column of DISTINCT word-k-shingle hashes.
+
+    The fast path hashes each token slice directly (``xxhash64`` recurses
+    into array elements) — the shingle STRING is never built, so the scan
+    stage skips one ``concat_ws`` allocation + UTF8 re-hash per shingle
+    instance and dedups over longs instead of strings. That matters beyond
+    constant factors: the memory-bandwidth probe recorded in BASELINE.md
+    shows this box's per-core bandwidth collapsing 2.9 → 1.1 GB/s from 4- to
+    16-wide, so allocation-heavy scan stages are what break the N→4N scaling
+    target — fewer bytes touched per row is a scaling fix, not a micro-opt.
+    The md5 path keeps the string formulation byte-compatible with the
+    DuckDB oracles. Hash-collision risk on the fast path is the usual
+    64-bit birthday bound (~1e-8 at a billion distinct shingles)."""
+    if not fast_hash:
+        sh = with_word_shingles(df, text_col, k, out="_hsh_str")
+        return sh.withColumn(
+            out, F.transform(F.col("_hsh_str"), lambda s: _md5_60(s))
+        ).drop("_hsh_str")
+    toks = F.col("_hsh_toks")
+    n = F.size(toks)
+    hashed = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.xxhash64(F.slice(toks, i, k))),
+    ).otherwise(F.array(F.xxhash64(toks)))
+    return (
+        df.withColumn("_hsh_toks", tokens_col(F.lower(F.col(text_col))))
+        .withColumn(out, F.array_distinct(hashed))
+        .drop("_hsh_toks")
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: (doc_id, content hash, group size, is_canonical) — the
     canonical representative is the minimum doc_id per digest."""
@@ -112,9 +141,9 @@ def _minhash_sig_structs(docs: DataFrame, text_col: str, k: int,
     # re-generate and re-hash the shingles 8× per row (this was the single
     # slowest bench entry). pmod maps signed hashes into [0, P) so xxhash64
     # and the unsigned md5-60 ints behave identically under the permutation.
-    staged = with_word_shingles(fan_out(docs), text_col, k, out="_wsh_sh").withColumn(
+    staged = with_hashed_shingles(fan_out(docs), text_col, k, fast_hash).withColumn(
         "_sh_hashed",
-        F.transform(F.col("_wsh_sh"), lambda s: F.pmod(_shingle_hash(s, fast_hash), F.lit(MINHASH_P))),
+        F.transform(F.col("_shh_arr"), lambda h: F.pmod(h, F.lit(MINHASH_P))),
     )
     per_perm = [
         F.struct(
@@ -246,9 +275,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     corpus-hot shingles" — which is also the better dedup signal: boilerplate
     shared by everything carries no near-duplicate evidence. Inspect the drop
     with ``dropped_shingles`` (no silent caps)."""
-    raw_sh = with_word_shingles(fan_out(docs), text_col, k).select(
-        "doc_id", F.explode("_sh").alias("sh")
-    ).select("doc_id", _shingle_hash(F.col("sh"), fast_hash).alias("shh"))
+    raw_sh = with_hashed_shingles(fan_out(docs), text_col, k, fast_hash).select(
+        "doc_id", F.explode("_shh_arr").alias("shh")
+    )
     # ONE shuffle of the shingle instances: per shingle hash, the sorted
     # multiset of containing docs. df = instance count (size of the list),
     # exactly as the previous count(*)-then-semi-join formulation — which
@@ -286,9 +315,9 @@ def dropped_shingles(docs: DataFrame, text_col: str = "text", k: int = 3,
     """Shingle hashes excluded from ``ngram_jaccard_pairs`` by the document-
     frequency cap — surfaced for lineage/metrics (no silent caps). One row per
     dropped shingle hash with its document frequency."""
-    raw_sh = with_word_shingles(fan_out(docs), text_col, k).select(
-        "doc_id", F.explode("_sh").alias("sh")
-    ).select("doc_id", _shingle_hash(F.col("sh"), fast_hash).alias("shh"))
+    raw_sh = with_hashed_shingles(fan_out(docs), text_col, k, fast_hash).select(
+        "doc_id", F.explode("_shh_arr").alias("shh")
+    )
     return raw_sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
 
 

@@ -55,3 +55,40 @@ def test_with_word_shingles_drops_staging_column(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     out = with_word_shingles(docs, "text", 3)
     assert set(out.columns) == {"doc_id", "text", "_sh"}
+
+
+def test_hashed_shingles_fast_path_matches_string_path(spark):
+    """The fast path (xxhash64 over token slices, no shingle strings) must
+    induce the same shingle SETS as the string formulation: same distinct
+    count per doc, and equal hash sets iff the string shingle sets are equal
+    (docs 3 and 5 repeat the same text)."""
+    from address_parser_spark.operators.dedup import with_hashed_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "short text"),
+            (3, "One Two Three One Two Three One Two Three"),
+            (4, "solo"),
+            (5, "one two three one two three one two three"),  # = doc 3 lowered
+        ],
+        "doc_id long, text string",
+    )
+    strings = {
+        r["doc_id"]: set(r["sh"])
+        for r in with_word_shingles(docs, "text", 3, out="sh").collect()
+    }
+    hashes = {
+        r["doc_id"]: set(r["_shh_arr"])
+        for r in with_hashed_shingles(docs, "text", 3, fast_hash=True).collect()
+    }
+    md5s = {
+        r["doc_id"]: set(r["_shh_arr"])
+        for r in with_hashed_shingles(docs, "text", 3, fast_hash=False).collect()
+    }
+    for d in strings:
+        assert len(hashes[d]) == len(strings[d]) == len(md5s[d])
+    # same text (case-insensitive) -> same hash set; different text -> disjoint
+    assert hashes[3] == hashes[5]
+    assert not hashes[1] & hashes[2]
+    assert strings[2] == {"short text"} and len(hashes[2]) == 1  # n<k edge
