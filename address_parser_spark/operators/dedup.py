@@ -135,32 +135,46 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _minhash_sig_structs(docs: DataFrame, text_col: str, k: int,
                          fast_hash: bool) -> DataFrame:
     """(doc_id, _sig array<struct<h_idx,minhash>>) — the full signature
-    computed map-side in one pass over the scan; no shuffle."""
-    # Stage the hashed shingles as a REAL column: a Column is an expression
-    # tree, so embedding `hashed` directly in the 8 permutation structs would
-    # re-generate and re-hash the shingles 8× per row (this was the single
-    # slowest bench entry). pmod maps signed hashes into [0, P) so xxhash64
-    # and the unsigned md5-60 ints behave identically under the permutation.
+    computed map-side in one pass over the scan; no shuffle.
+
+    The 8 permutations are computed inside ONE ``transform`` over a literal
+    (h_idx, a, b) parameter array, so the hashed-shingle expression is
+    referenced exactly once. Eight sibling per-permutation structs each
+    referencing a staged `_sh_hashed` column measured 9 inlined copies of the
+    whole shingle pipeline in the optimized plan (~37 s vs ~4 s at sf0.1):
+    with the struct array feeding a Generate, column pruning rewrites past
+    the staging projection and CollapseProject's multi-reference guard never
+    sees the alias. A single reference can be inlined at most once, so the
+    plan shape is immune to that rule interplay by construction (guarded by
+    tests/test_plan_audit.py). pmod maps signed hashes into [0, P) so
+    xxhash64 and the unsigned md5-60 ints behave identically under the
+    permutation."""
     staged = with_hashed_shingles(fan_out(docs), text_col, k, fast_hash).withColumn(
         "_sh_hashed",
         F.transform(F.col("_shh_arr"), lambda h: F.pmod(h, F.lit(MINHASH_P))),
     )
-    per_perm = [
+    params = F.array(*[
         F.struct(
-            F.lit(j).alias("h_idx"),
+            F.lit(j).alias("h_idx"), F.lit(a).alias("a"), F.lit(b).alias("b")
+        )
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    ])
+    sig = F.transform(
+        params,
+        lambda p: F.struct(
+            p["h_idx"].alias("h_idx"),
             F.coalesce(
                 F.array_min(
                     F.transform(
                         F.col("_sh_hashed"),
-                        lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)),
+                        lambda h: F.pmod(p["a"] * h + p["b"], F.lit(MINHASH_P)),
                     )
                 ),
                 F.lit(MINHASH_P),
             ).alias("minhash"),
-        )
-        for j, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
-    return staged.select("doc_id", F.array(*per_perm).alias("_sig"))
+        ),
+    )
+    return staged.select("doc_id", sig.alias("_sig"))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,

@@ -23,6 +23,18 @@ DEFAULT_CONFS: dict[str, str] = {
     # CPU-heavy small-byte stages wide while still merging true slivers.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # InferFiltersFromGenerate turns every explode(e) into a pre-filter
+    # `size(e) > 0 AND isnotnull(e)`; predicate pushdown then substitutes the
+    # alias chain, so when e is a computed column the WHOLE upstream
+    # expression pipeline is re-evaluated a second time in a Filter at the
+    # scan — below any repartition, i.e. at the scan's own (often single-
+    # split) parallelism. Measured on minhash_signatures at sf0.1: 33 s with
+    # the inferred filter vs 3.6 s without; explode(_sig) can never prune a
+    # row there (_sig is always 8 elements). Every explode in this engine
+    # feeds on computed arrays, never on stored arrays with many empties —
+    # the rule's win case — so it is excluded engine-wide.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",

@@ -117,3 +117,29 @@ def test_cosine_topk_broadcasts_the_query_side(spark, queries):
     plan = plan_of(queries["cosine_topk"](spark, SF))
     assert "Broadcast" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_minhash_signature_pipeline_is_evaluated_exactly_once(spark, queries):
+    # Two plan hazards have each made minhash_signatures re-run the whole
+    # tokenize→shingle→hash pipeline many times per row (measured 9 copies /
+    # ~10× wall at sf0.1):
+    #  1. eight sibling per-permutation structs each inlining the staged
+    #     shingle column (fixed: one transform over a literal params array);
+    #  2. InferFiltersFromGenerate turning explode(_sig) into a
+    #     size(_sig) > 0 pre-filter that pushdown expands to the full
+    #     expression at the scan (fixed: rule excluded in session.py).
+    # The optimized plan must contain exactly one shingle generation and no
+    # Filter node at all (nothing in this query can prune a row).
+    df = queries["minhash_signatures"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("sequence(") == 1
+    assert "Filter" not in optimized
+
+
+def test_excluded_optimizer_rules_survive_session_config(spark):
+    # The engine-wide exclusion is part of the execution posture (see
+    # session.py DEFAULT_CONFS); losing it silently doubles every
+    # explode-of-computed-array stage.
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", ""
+    )
