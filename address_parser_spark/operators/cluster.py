@@ -156,6 +156,7 @@ def connected_components(
     if timings is not None:
         timings["cc_init"] = round(_time.monotonic() - _t0, 2)
     if checkpoint_fn is None and prev_fp[0] <= small_graph_edges:
+        _t0 = _time.monotonic()  # cc_init is reported separately — don't double-count it
         out = _driver_union_find(current)
         if timings is not None:
             timings["cc_rounds"] = 0

@@ -9,17 +9,20 @@ Scale shape notes (the part that matters at 100 TB):
 - exact dedup: one hash agg on a 16-byte digest — shuffle width is (digest,
   doc_id), partial-agg'd map-side.
 - MinHash banding: signatures AND band keys are computed scan-side (no
-  shuffle); the only shuffles are the band-key groupBy (fan-out bounded by
-  band count) and the pair agg; oversized buckets get capped exactly like
-  pairs.candidate_pairs, and pairs are generated JVM-side from each
-  bucket's member list — never a bucket self-join.
-- Jaccard pairs: shingle explode → ONE hash-agg by shingle hash collecting
-  the doc list → JVM-side pair combinations → per-pair intersection counts
-  (union size = |A|+|B|−∩ needs no second pass). A shingle shared by n docs
-  yields n²/2 pairs, so globally-hot shingles (document frequency >
-  ``max_df`` — boilerplate headers, licence blurbs) are DROPPED before any
-  pair exists, from both the intersections and the per-doc set sizes; the
-  drop is surfaced by ``dropped_shingles`` (no silent caps).
+  shuffle); the shuffles are the band-key membership collection (salted,
+  bounded state — ``_grouped_docs_bounded``) and the pair agg; oversized
+  buckets get capped exactly like pairs.candidate_pairs, and pairs are
+  generated JVM-side from each bucket's member list — never a bucket
+  self-join.
+- Jaccard pairs: shingle explode → bounded-state salted hash-agg by shingle
+  hash collecting the doc list → JVM-side pair combinations → per-pair
+  intersection counts (union size = |A|+|B|−∩ needs no second pass). A
+  shingle shared by n docs yields n²/2 pairs, so globally-hot shingles
+  (document frequency > ``max_df`` — boilerplate headers, licence blurbs)
+  are DROPPED before any pair exists — without ever materializing their
+  doc lists (see ``_grouped_docs_bounded``) — from both the intersections
+  and the per-doc set sizes; the drop is surfaced by ``dropped_shingles``
+  (no silent caps).
 - hash functions: md5-derived 60-bit ints by default (bit-identical to the
   DuckDB oracles); pass ``fast_hash=True`` for xxhash64 on the production /
   bench path (~3× faster, Spark-only — same dataflow shape).
@@ -189,6 +192,44 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
     ).select("doc_id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash"))
 
 
+def _grouped_docs_bounded(rows: DataFrame, key: str, cap: int,
+                          salt_buckets: int = 32) -> DataFrame:
+    """(key, df=instance count, docs=sorted doc_id array for keys with
+    df <= cap) with BOUNDED aggregation state on corpus-hot keys.
+
+    A naive ``groupBy(key).agg(collect_list(doc_id)).filter(size <= cap)``
+    materializes the FULL doc list of every key before the filter — one
+    boilerplate shingle shared by millions of documents puts a multi-million-
+    element array in a single reducer's aggregation buffer (OOM / extreme
+    skew) even though the key is discarded the next instant. Instead the
+    collection is salted two-stage:
+
+      1. groupBy(key, xxhash64(doc_id) % salt_buckets): per-bucket instance
+         count + the bucket's doc list sliced to cap+1 elements. Hot-key
+         state is divided by ``salt_buckets`` and the carried list bounded.
+      2. groupBy(key): df = sum of bucket counts; docs = flatten of bucket
+         lists — stage-2 state is ≤ salt_buckets × (cap+1) elements by
+         construction, for ANY key popularity.
+
+    Exactness: a surviving key (df <= cap) has every bucket count ≤ cap <
+    cap+1, so no stage-1 slice ever truncated it — the flattened list is the
+    complete multiset, bit-identical to the naive formulation (and the
+    DuckDB oracles). Truncation only ever touches keys the df filter drops.
+    Same-doc multiplicity is preserved (a doc_id always salts to the same
+    bucket). Size ``salt_buckets`` ≥ expected hottest df / ~1M so per-bucket
+    state stays in the tens of MB at worst."""
+    salted = rows.groupBy(
+        key, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, cap + 1).alias("_docs"),
+    )
+    return salted.groupBy(key).agg(
+        F.sum("_cnt").alias("df"),
+        F.array_sort(F.flatten(F.collect_list("_docs"))).alias("docs"),
+    ).filter(F.col("df") <= cap)
+
+
 def _doc_pairs_per_bucket(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
     """All (doc_a < doc_b) pairs from each row's SORTED doc_id array,
     generated JVM-side (``transform × slice`` combinations — the same
@@ -219,11 +260,18 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
                        max_block: int = 50, fast_hash: bool = False) -> DataFrame:
     """LSH banding → candidate near-dup pairs (doc_a < doc_b, shared bands).
 
-    TWO shuffles total: band keys are computed map-side from the per-doc
-    signature array (the previous formulation exploded the signature and
-    shuffled 8 rows/doc just to regroup them), then one hash-agg by band key
-    collects each bucket's members (bounded by ``max_block``) and one
-    hash-agg by pair counts shared bands."""
+    Band keys are computed map-side from the per-doc signature array (the
+    previous formulation exploded the signature and shuffled 8 rows/doc just
+    to regroup them); bucket membership is collected with BOUNDED per-key
+    state (``_grouped_docs_bounded`` — degenerate buckets like the
+    all-short-docs band can hold millions of members before the
+    ``max_block`` filter discards them), then one hash-agg by pair counts
+    shared bands."""
+    if len(MINHASH_PARAMS) % rows_per_band:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide the signature size "
+            f"{len(MINHASH_PARAMS)} — trailing permutations would be silently dropped"
+        )
     sig = _minhash_sig_structs(docs, text_col, 3, fast_hash)
     n_bands = len(MINHASH_PARAMS) // rows_per_band
     # Per band: md5("<band>#<sorted 'h_idx:minhash' members joined by ','>")
@@ -242,11 +290,7 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
             F.md5(F.concat_ws("#", F.lit(str(j)), F.array_join(F.array_sort(members), ",")))
         )
     bands = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("bkey"))
-    grouped = (
-        bands.groupBy("bkey")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_block))
-    )
+    grouped = _grouped_docs_bounded(bands, "bkey", max_block).filter(F.col("df") >= 2)
     return (
         _doc_pairs_per_bucket(grouped)
         .groupBy("doc_a", "doc_b")
@@ -292,16 +336,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     raw_sh = with_hashed_shingles(fan_out(docs), text_col, k, fast_hash).select(
         "doc_id", F.explode("_shh_arr").alias("shh")
     )
-    # ONE shuffle of the shingle instances: per shingle hash, the sorted
-    # multiset of containing docs. df = instance count (size of the list),
-    # exactly as the previous count(*)-then-semi-join formulation — which
-    # paid three shuffles over the exploded shingles and re-evaluated the
-    # shingling per consumer (it was 75% of the dedup-sweep profile).
-    grouped = (
-        raw_sh.groupBy("shh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= max_df)
-    )
+    # ONE shuffle of the shingle instances (plus a compact salted regroup
+    # of pre-aggregated buckets): per shingle hash, the sorted multiset of
+    # containing docs — same result as the previous count(*)-then-semi-join
+    # formulation, which paid three shuffles over the exploded shingles and
+    # re-evaluated the shingling per consumer (75% of the dedup-sweep
+    # profile). Collection state on corpus-hot shingles is BOUNDED (see
+    # _grouped_docs_bounded): the df > max_df boilerplate keys this filter
+    # exists for are exactly the ones that would otherwise accumulate
+    # million-element arrays before being discarded.
+    grouped = _grouped_docs_bounded(raw_sh, "shh", max_df)
     # per-doc surviving-shingle counts (compact post-shuffle longs, the
     # exchange below is reused for the pair branch)
     sizes = (
@@ -310,7 +354,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     inter = (
-        _doc_pairs_per_bucket(grouped.filter(F.size("docs") >= 2))
+        _doc_pairs_per_bucket(grouped.filter(F.col("df") >= 2))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

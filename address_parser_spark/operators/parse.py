@@ -516,7 +516,9 @@ def resolve_mentions(
                 .select(
                     F.sum(
                         sum(
-                            (F.coalesce(F.length(F.col(c).cast("string")), F.lit(0))
+                            # octet_length: UTF-8 BYTES, not code points — accented
+                            # Vietnamese text is ~1.5-2× its character count on the wire.
+                            (F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
                              + F.lit(8)
                              for c in winners.columns),
                             F.lit(0),

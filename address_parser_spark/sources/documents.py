@@ -51,9 +51,17 @@ def synth_documents_spark(
         )
 
     base = spark.range(0, n_docs, 1, partitions)
-    is_dup = (F.pmod(F.xxhash64(F.col("id"), F.lit("dup"), F.lit(seed)), F.lit(10)) == 0) & (
-        F.col("id") > 0
-    )
+
+    def _dup_flagged(c):
+        return F.pmod(F.xxhash64(c, F.lit("dup"), F.lit(seed)), F.lit(10)) == 0
+
+    # A doc is a planted near-dup of its predecessor ONLY when the
+    # predecessor is itself non-dup: without that guard, chained flags
+    # (id-1 also flagged) make doc id copy tok_stream(id-1) while doc id-1's
+    # actual text is tok_stream(id-2)+extra — a "planted pair" sharing no
+    # tokens, breaking the corpus's documented near-dup contract for ~10%
+    # of pairs (and the banding-recall gate built on it).
+    is_dup = _dup_flagged(F.col("id")) & ~_dup_flagged(F.col("id") - 1) & (F.col("id") > 0)
     seed_id = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
     # staged columns (not inlined) — same CollapseProject discipline as the
     # operators: the token array feeds both the text join and the dup suffix

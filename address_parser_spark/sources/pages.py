@@ -213,7 +213,12 @@ def _collect_variants(rec: dict) -> tuple:
 
 
 def _type_hint(rec: dict, level: str) -> str:
-    """Reference ``detect_type_hint`` full-name fallback path (:489-517)."""
+    """Reference ``detect_type_hint`` full-name fallback path (:489-517).
+
+    NOTE the ``district_thi_tran`` hint is emitted but absent from the
+    abbreviation table — faithfully matching the reference, whose
+    ``TYPE_ABBREVIATIONS`` (:22-32) lacks that key too, so such records
+    never abbreviate on either side."""
     base = strip_accents(rec.get("full_name") or "").lower()
     if level == "PROVINCE":
         return "province_city" if base.startswith("thanh pho") else "province"

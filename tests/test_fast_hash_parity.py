@@ -58,9 +58,13 @@ def test_minhash_bands_recover_planted_dups_under_either_hash(spark, docs):
 
     from pyspark.sql import functions as F
 
-    is_dup = (F.pmod(F.xxhash64("doc_id", F.lit("dup"), F.lit(42)), F.lit(10)) == 0) & (
-        F.col("doc_id") > 0
-    )
+    def flagged(c):
+        return F.pmod(F.xxhash64(c, F.lit("dup"), F.lit(42)), F.lit(10)) == 0
+
+    # same predicate as sources/documents.py: a doc is a planted dup only
+    # when its predecessor is NOT itself flagged (no chained flags — every
+    # planted pair genuinely shares its token stream)
+    is_dup = flagged(F.col("doc_id")) & ~flagged(F.col("doc_id") - 1) & (F.col("doc_id") > 0)
     planted = {
         (r["doc_id"] - 1, r["doc_id"])
         for r in docs.filter(is_dup).select("doc_id").collect()
@@ -72,4 +76,4 @@ def test_minhash_bands_recover_planted_dups_under_either_hash(spark, docs):
             for r in minhash_band_pairs(docs, fast_hash=fast).collect()
         }
         recall = len(planted & got) / len(planted)
-        assert recall >= 0.9, f"fast_hash={fast}: banding recall {recall:.2f}"
+        assert recall >= 0.95, f"fast_hash={fast}: banding recall {recall:.2f}"

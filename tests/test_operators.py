@@ -75,6 +75,39 @@ def test_dedup_exact_finds_planted_duplicates(spark):
     assert out[3]["dup_count"] == 1
 
 
+def test_grouped_docs_bounded_matches_naive_collect(spark):
+    """The salted two-stage collection must be value-identical to the naive
+    groupBy+collect_list for every surviving key, drop exactly the df>cap
+    keys, and preserve same-doc multiplicity — for salt widths below, at,
+    and above the distinct-doc count."""
+    from pyspark.sql import functions as F
+
+    from address_parser_spark.operators.dedup import _grouped_docs_bounded
+
+    rows = [("hot", d) for d in range(40)]            # df 40 — dropped at cap 5
+    rows += [("warm", d) for d in (3, 1, 2, 1)]       # df 4, doc 1 twice
+    rows += [("cold", 9)]                             # df 1
+    df = spark.createDataFrame(rows, "shh string, doc_id long")
+    for buckets in (2, 8, 64):
+        got = {
+            r["shh"]: (r["df"], r["docs"])
+            for r in _grouped_docs_bounded(df, "shh", cap=5, salt_buckets=buckets).collect()
+        }
+        assert set(got) == {"warm", "cold"}, got
+        assert got["warm"] == (4, [1, 1, 2, 3])  # sorted, multiplicity kept
+        assert got["cold"] == (1, [9])
+
+
+def test_minhash_band_pairs_rejects_nondividing_rows_per_band(spark):
+    import pytest
+
+    from address_parser_spark.operators.dedup import minhash_band_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="rows_per_band"):
+        minhash_band_pairs(docs, rows_per_band=3)
+
+
 def test_minhash_band_pairs_recall_on_near_dup(spark):
     from address_parser_spark.operators.dedup import minhash_band_pairs
 

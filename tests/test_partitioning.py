@@ -22,6 +22,26 @@ def test_fan_out_is_noop_on_wide_plans(spark):
     assert fan_out(wide) is wide
 
 
+def test_fan_out_never_probes_shuffle_derived_frames(spark):
+    """A frame derived through a shuffle must come back untouched WITHOUT an
+    .rdd width probe: under AQE, converting a shuffle-bearing plan to RDD
+    finalizes the adaptive plan and eagerly EXECUTES every upstream stage
+    just to read a partition count — the upstream pipeline would then run
+    twice. Post-shuffle frames are already shuffle.partitions wide, so
+    fan_out has nothing to fix there."""
+    from address_parser_spark.operators import partitioning
+
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    joined = agg.join(spark.range(7).withColumnRenamed("id", "k"), "k")
+    for wide in (agg, joined, spark.range(10).repartition(32)):
+        assert not partitioning._is_narrow_over_scan(wide)
+        assert fan_out(wide) is wide
+    # ...while narrow-over-scan shapes (including coalesce) still qualify
+    for narrow in (spark.range(10), spark.range(10).coalesce(1),
+                   spark.range(10).filter(F.col("id") > 2).select("id")):
+        assert partitioning._is_narrow_over_scan(narrow)
+
+
 def test_fan_out_preserves_rows_and_values(spark):
     df = spark.createDataFrame([(i, f"t{i}") for i in range(50)], "id long, text string").coalesce(1)
     out = fan_out(df)
