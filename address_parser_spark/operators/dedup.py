@@ -300,22 +300,44 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
 
 def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over word tokens (md5-hashed; bit b of the fingerprint
-    is the sign of the per-bit vote sum)."""
-    toks = fan_out(docs).select("doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
-    hashed = toks.select("doc_id", _md5_60(F.col("tok")).alias("h"))
-    votes = [
-        F.sum(
-            # integer bit extraction — float division would lose low bits
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{b}")
-        for b in range(32)
-    ]
-    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    is the sign of the per-bit vote sum, votes weighted by term frequency).
+
+    ZERO shuffle: SimHash is per-document math, so the 32 vote counters are
+    folded map-side in ONE ``F.aggregate`` pass over the token-hash array
+    (struct-of-32 accumulator). The previous explode → groupBy(doc_id)
+    formulation shuffled every token INSTANCE — at web scale that is a
+    shuffle of the whole tokenized corpus to compute a per-row value. The
+    hashed array is referenced exactly once, so the plan is immune to the
+    CollapseProject/Generate re-inlining trap by construction (the minhash
+    lesson, tests/test_plan_audit.py). Docs with no tokens are dropped,
+    matching the explode semantics (and the DuckDB oracle)."""
+    # token array staged as a REAL column (referenced twice: votes + count) —
+    # the md5-hash transform is referenced exactly once, inside aggregate
+    hashed = F.transform(F.col("_simh_toks"), lambda t: _md5_60(t))
+    acc0 = F.struct(*[F.lit(0).alias(f"v{b}") for b in range(32)])
+    votes = F.aggregate(
+        hashed,
+        acc0,
+        lambda acc, h: F.struct(*[
+            (
+                acc[f"v{b}"]
+                # integer bit extraction — float division would lose low bits
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]),
+    )
     fingerprint = None
     for b in range(32):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit = F.when(F.col("_votes")[f"v{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
+    return (
+        fan_out(docs)
+        .withColumn("_simh_toks", tokens_col(F.lower(F.col(text_col))))
+        .select("doc_id", votes.alias("_votes"), F.size("_simh_toks").alias("_ntok"))
+        .filter(F.col("_ntok") > 0)
+        .select("doc_id", fingerprint.cast("long").alias("simhash"))
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,

@@ -111,6 +111,19 @@ def test_minhash_band_pairs_joins_on_band_key(spark, queries):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_plans_zero_shuffle(spark, queries):
+    # SimHash is per-document math: the 32 vote counters fold map-side in
+    # one F.aggregate pass. A hash/range exchange here means the formulation
+    # regressed to shuffling token instances — at web scale that shuffles
+    # the whole tokenized corpus to compute a per-row value. (fan_out's
+    # round-robin scan widening is allowed — it only fires on sub-split
+    # inputs like this fixture and is a no-op at scale.)
+    plan = plan_of(queries["simhash"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
 def test_cosine_topk_broadcasts_the_query_side(spark, queries):
     # 8 query vectors vs the full corpus: the tiny side must broadcast so
     # the corpus is scanned in place, never shuffled
