@@ -192,42 +192,50 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
     ).select("doc_id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash"))
 
 
-def _grouped_docs_bounded(rows: DataFrame, key: str, cap: int,
-                          salt_buckets: int = 32) -> DataFrame:
-    """(key, df=instance count, docs=sorted doc_id array for keys with
-    df <= cap) with BOUNDED aggregation state on corpus-hot keys.
+def _grouped_docs_bounded(rows: DataFrame, key: str, cap: int) -> DataFrame:
+    """(key, df=instance count, docs=sorted doc_id array) for keys with
+    df <= cap, with BOUNDED aggregation state on corpus-hot keys and ONE
+    wide shuffle of the instances.
 
     A naive ``groupBy(key).agg(collect_list(doc_id)).filter(size <= cap)``
     materializes the FULL doc list of every key before the filter — one
     boilerplate shingle shared by millions of documents puts a multi-million-
-    element array in a single reducer's aggregation buffer (OOM / extreme
-    skew) even though the key is discarded the next instant. Instead the
-    collection is salted two-stage:
+    element array in a single aggregation buffer (OOM / extreme skew) even
+    though the key is discarded the next instant. Instead the instances are
+    hash-partitioned by key ONCE, and everything downstream rides that same
+    exchange (Spark writes the shuffle once and re-reads it per consumer —
+    ReusedExchange):
 
-      1. groupBy(key, xxhash64(doc_id) % salt_buckets): per-bucket instance
-         count + the bucket's doc list sliced to cap+1 elements. Hot-key
-         state is divided by ``salt_buckets`` and the carried list bounded.
-      2. groupBy(key): df = sum of bucket counts; docs = flatten of bucket
-         lists — stage-2 state is ≤ salt_buckets × (cap+1) elements by
-         construction, for ANY key popularity.
+      1. ``df`` per key: a window count over the partition — WindowExec
+         buffers one key group at a time in a SPILLABLE row array
+         (ExternalAppendOnlyUnsafeRowArray), so a hot key costs disk, never
+         an OOM;
+      2. the df <= cap filter drops every hot key's instances BEFORE any
+         list exists;
+      3. the collect_list — its state is now ≤ cap elements per key by
+         construction, and the window's clustering satisfies its
+         distribution, so no second exchange.
 
-    Exactness: a surviving key (df <= cap) has every bucket count ≤ cap <
-    cap+1, so no stage-1 slice ever truncated it — the flattened list is the
-    complete multiset, bit-identical to the naive formulation (and the
-    DuckDB oracles). Truncation only ever touches keys the df filter drops.
-    Same-doc multiplicity is preserved (a doc_id always salts to the same
-    bucket). Size ``salt_buckets`` ≥ expected hottest df / ~1M so per-bucket
-    state stays in the tens of MB at worst."""
-    salted = rows.groupBy(
-        key, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).alias("_salt")
-    ).agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, cap + 1).alias("_docs"),
+    Results are bit-identical to the naive formulation (and the DuckDB
+    oracles): exact df, exact multiset doc lists, same-doc multiplicity
+    preserved. Two alternatives were built and rejected on measurement:
+    a salted two-stage collection (pre-aggregation cannot compress
+    mostly-unique keys — the normal shingle distribution — so it
+    re-shuffled ~every instance with array overhead on top, −26% on the
+    800k-doc sweep) and a count-aggregate + co-partitioned semi-join
+    (column-pruning divergence defeats ReuseExchange, so the instances
+    shipped twice). The plan-shape test below pins the single-exchange
+    property."""
+    from pyspark.sql.window import Window
+
+    inst = rows.repartition(F.col(key))
+    return (
+        inst.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy(key)))
+        .filter(F.col("df") <= cap)
+        .groupBy(key, "df")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .select(key, "df", "docs")
     )
-    return salted.groupBy(key).agg(
-        F.sum("_cnt").alias("df"),
-        F.array_sort(F.flatten(F.collect_list("_docs"))).alias("docs"),
-    ).filter(F.col("df") <= cap)
 
 
 def _doc_pairs_per_bucket(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:

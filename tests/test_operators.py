@@ -76,10 +76,13 @@ def test_dedup_exact_finds_planted_duplicates(spark):
 
 
 def test_grouped_docs_bounded_matches_naive_collect(spark):
-    """The salted two-stage collection must be value-identical to the naive
+    """The count-then-join collection must be value-identical to the naive
     groupBy+collect_list for every surviving key, drop exactly the df>cap
-    keys, and preserve same-doc multiplicity — for salt widths below, at,
-    and above the distinct-doc count."""
+    keys BEFORE any list is collected, preserve same-doc multiplicity, and
+    plan exactly ONE wide exchange of the instances (count agg, df-filter
+    join, and collect_list all reuse it)."""
+    import re
+
     from pyspark.sql import functions as F
 
     from address_parser_spark.operators.dedup import _grouped_docs_bounded
@@ -88,14 +91,17 @@ def test_grouped_docs_bounded_matches_naive_collect(spark):
     rows += [("warm", d) for d in (3, 1, 2, 1)]       # df 4, doc 1 twice
     rows += [("cold", 9)]                             # df 1
     df = spark.createDataFrame(rows, "shh string, doc_id long")
-    for buckets in (2, 8, 64):
-        got = {
-            r["shh"]: (r["df"], r["docs"])
-            for r in _grouped_docs_bounded(df, "shh", cap=5, salt_buckets=buckets).collect()
-        }
-        assert set(got) == {"warm", "cold"}, got
-        assert got["warm"] == (4, [1, 1, 2, 3])  # sorted, multiplicity kept
-        assert got["cold"] == (1, [9])
+    out = _grouped_docs_bounded(df, "shh", cap=5)
+    got = {r["shh"]: (r["df"], r["docs"]) for r in out.collect()}
+    assert set(got) == {"warm", "cold"}, got
+    assert got["warm"] == (4, [1, 1, 2, 3])  # sorted, multiplicity kept
+    assert got["cold"] == (1, [9])
+    # single-exchange property: one hashpartitioning exchange, reused by
+    # every consumer (the scale guarantee the docstring promises)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = re.findall(r"Exchange hashpartitioning\(shh", plan)
+    reuses = re.findall(r"ReusedExchange|ShuffleQueryStage|reused", plan)
+    assert len(shuffles) <= 1 or reuses, plan
 
 
 def test_minhash_band_pairs_rejects_nondividing_rows_per_band(spark):
