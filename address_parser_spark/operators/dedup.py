@@ -9,20 +9,20 @@ Scale shape notes (the part that matters at 100 TB):
 - exact dedup: one hash agg on a 16-byte digest — shuffle width is (digest,
   doc_id), partial-agg'd map-side.
 - MinHash banding: signatures AND band keys are computed scan-side (no
-  shuffle); the shuffles are the band-key membership collection (salted,
-  bounded state — ``_grouped_docs_bounded``) and the pair agg; oversized
-  buckets get capped exactly like pairs.candidate_pairs, and pairs are
-  generated JVM-side from each bucket's member list — never a bucket
-  self-join.
-- Jaccard pairs: shingle explode → bounded-state salted hash-agg by shingle
-  hash collecting the doc list → JVM-side pair combinations → per-pair
-  intersection counts (union size = |A|+|B|−∩ needs no second pass). A
-  shingle shared by n docs yields n²/2 pairs, so globally-hot shingles
-  (document frequency > ``max_df`` — boilerplate headers, licence blurbs)
-  are DROPPED before any pair exists — without ever materializing their
-  doc lists (see ``_grouped_docs_bounded``) — from both the intersections
-  and the per-doc set sizes; the drop is surfaced by ``dropped_shingles``
-  (no silent caps).
+  shuffle); the shuffles are the band-key membership collection (one hash
+  exchange, window-count-bounded state — ``_grouped_docs_bounded``) and
+  the pair agg; oversized buckets get capped exactly like
+  pairs.candidate_pairs, and pairs are generated JVM-side from each
+  bucket's member list — never a bucket self-join.
+- Jaccard pairs: shingle explode → one hash exchange on which a window
+  count sizes each shingle's doc set BEFORE the list is collected →
+  JVM-side pair combinations → per-pair intersection counts (union size =
+  |A|+|B|−∩ needs no second pass). A shingle shared by n docs yields n²/2
+  pairs, so globally-hot shingles (document frequency > ``max_df`` —
+  boilerplate headers, licence blurbs) are DROPPED before any pair exists
+  — without ever materializing their doc lists (see
+  ``_grouped_docs_bounded``) — from both the intersections and the per-doc
+  set sizes; the drop is surfaced by ``dropped_shingles`` (no silent caps).
 - hash functions: md5-derived 60-bit ints by default (bit-identical to the
   DuckDB oracles); pass ``fast_hash=True`` for xxhash64 on the production /
   bench path (~3× faster, Spark-only — same dataflow shape).
@@ -192,10 +192,15 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
     ).select("doc_id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash"))
 
 
-def _grouped_docs_bounded(rows: DataFrame, key: str, cap: int) -> DataFrame:
-    """(key, df=instance count, docs=sorted doc_id array) for keys with
-    df <= cap, with BOUNDED aggregation state on corpus-hot keys and ONE
-    wide shuffle of the instances.
+def _grouped_docs_bounded(rows: DataFrame, key: str, cap: int,
+                          value: Column | None = None,
+                          out: str = "docs") -> DataFrame:
+    """(key, df=instance count, ``out``=sorted ``value`` array) for keys
+    with df <= cap, with BOUNDED aggregation state on corpus-hot keys and
+    ONE wide shuffle of the instances. ``value`` defaults to ``doc_id``;
+    pairs.candidate_pairs reuses this exact shape with a struct value —
+    keep the implementations shared so the single-exchange plan guarantee
+    is tested once and holds for both.
 
     A naive ``groupBy(key).agg(collect_list(doc_id)).filter(size <= cap)``
     materializes the FULL doc list of every key before the filter — one
@@ -228,13 +233,14 @@ def _grouped_docs_bounded(rows: DataFrame, key: str, cap: int) -> DataFrame:
     property."""
     from pyspark.sql.window import Window
 
+    value = F.col("doc_id") if value is None else value
     inst = rows.repartition(F.col(key))
     return (
         inst.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy(key)))
         .filter(F.col("df") <= cap)
         .groupBy(key, "df")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .select(key, "df", "docs")
+        .agg(F.array_sort(F.collect_list(value)).alias(out))
+        .select(key, "df", out)
     )
 
 
@@ -275,7 +281,7 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
     all-short-docs band can hold millions of members before the
     ``max_block`` filter discards them), then one hash-agg by pair counts
     shared bands."""
-    if len(MINHASH_PARAMS) % rows_per_band:
+    if rows_per_band <= 0 or len(MINHASH_PARAMS) % rows_per_band:
         raise ValueError(
             f"rows_per_band={rows_per_band} must divide the signature size "
             f"{len(MINHASH_PARAMS)} — trailing permutations would be silently dropped"
@@ -318,7 +324,14 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     hashed array is referenced exactly once, so the plan is immune to the
     CollapseProject/Generate re-inlining trap by construction (the minhash
     lesson, tests/test_plan_audit.py). Docs with no tokens are dropped,
-    matching the explode semantics (and the DuckDB oracle)."""
+    matching the explode semantics (and the DuckDB oracle) — via a
+    whitespace-only-text predicate applied BEFORE fan_out, deliberately:
+    a `size(tokens) > 0` filter gets predicate-pushed below the staging
+    projection AND the repartition, re-running the whole tokenization a
+    second time serially at the scan (measured on the optimized plan);
+    ``rlike '\\S'`` is scan-cheap and prunes exactly the zero-token rows
+    (tokens_col drops whitespace-only splits — trim() would miss
+    tab/newline-only texts, which trim spaces only)."""
     # token array staged as a REAL column (referenced twice: votes + count) —
     # the md5-hash transform is referenced exactly once, inside aggregate
     hashed = F.transform(F.col("_simh_toks"), lambda t: _md5_60(t))
@@ -340,10 +353,9 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
         bit = F.when(F.col("_votes")[f"v{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return (
-        fan_out(docs)
+        fan_out(docs.filter(F.col(text_col).rlike(r"\S")))
         .withColumn("_simh_toks", tokens_col(F.lower(F.col(text_col))))
-        .select("doc_id", votes.alias("_votes"), F.size("_simh_toks").alias("_ntok"))
-        .filter(F.col("_ntok") > 0)
+        .select("doc_id", votes.alias("_votes"))
         .select("doc_id", fingerprint.cast("long").alias("simhash"))
     )
 
@@ -366,8 +378,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     raw_sh = with_hashed_shingles(fan_out(docs), text_col, k, fast_hash).select(
         "doc_id", F.explode("_shh_arr").alias("shh")
     )
-    # ONE shuffle of the shingle instances (plus a compact salted regroup
-    # of pre-aggregated buckets): per shingle hash, the sorted multiset of
+    # ONE shuffle of the shingle instances (window-count sizing + collect
+    # on the same exchange): per shingle hash, the sorted multiset of
     # containing docs — same result as the previous count(*)-then-semi-join
     # formulation, which paid three shuffles over the exploded shingles and
     # re-evaluated the shingling per consumer (75% of the dedup-sweep

@@ -33,8 +33,13 @@ from pyspark.sql import DataFrame
 # never probe, never fire.
 _SHUFFLE_NODES = frozenset({
     "Join", "Aggregate", "Window", "Sort",
-    "RepartitionByExpression", "Deduplicate", "GlobalLimit", "CoGroup",
+    "RepartitionByExpression", "RebalancePartitions", "Deduplicate",
+    "GlobalLimit", "CoGroup",
     "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas", "MapInPandas",
+    # A cached frame prints its PHYSICAL child plan inside InMemoryRelation
+    # (HashAggregate, Exchange, …) — logical node names never match it, so
+    # treat the cache node itself (and any printed Exchange) as not-narrow.
+    "InMemoryRelation", "Exchange",
 })
 
 # ``coalesce(n)`` and ``repartition(n)`` share the Repartition logical node,

@@ -11,10 +11,12 @@ the corpus is identical under any partitioning or parallelism (the property
 the scaling protocol needs: both levels must scan identical bytes).
 
 Near-duplicate structure: every doc whose ``xxhash64(id,'dup') % 10 == 0``
-(and id > 0) re-generates the PREVIOUS doc's token stream and appends one
-extra token — a planted (id-1, id) near-dup pair, ~10% of the corpus, so the
+(with id > 0 AND the predecessor id-1 NOT itself flagged — no chained
+flags, so every planted pair genuinely shares its token stream)
+re-generates the PREVIOUS doc's token stream and appends one extra token —
+a planted (id-1, id) near-dup pair, ~9% of the corpus, so the
 MinHash/Jaccard operators exercise their match paths, not just the empty
-case.
+case. ``tests/test_fast_hash_parity.py`` mirrors this exact predicate.
 """
 
 from __future__ import annotations

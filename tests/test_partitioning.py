@@ -33,9 +33,16 @@ def test_fan_out_never_probes_shuffle_derived_frames(spark):
 
     agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
     joined = agg.join(spark.range(7).withColumnRenamed("id", "k"), "k")
-    for wide in (agg, joined, spark.range(10).repartition(32)):
-        assert not partitioning._is_narrow_over_scan(wide)
-        assert fan_out(wide) is wide
+    # a cached shuffle-derived frame prints PHYSICAL nodes (InMemoryRelation
+    # wrapping Exchange/HashAggregate) — must classify as not-narrow too
+    cached = agg.cache()
+    try:
+        for wide in (agg, joined, spark.range(10).repartition(32), cached,
+                     spark.range(10).hint("rebalance")):
+            assert not partitioning._is_narrow_over_scan(wide)
+            assert fan_out(wide) is wide
+    finally:
+        cached.unpersist()
     # ...while narrow-over-scan shapes (including coalesce) still qualify
     for narrow in (spark.range(10), spark.range(10).coalesce(1),
                    spark.range(10).filter(F.col("id") > 2).select("id")):
