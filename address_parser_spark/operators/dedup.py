@@ -289,7 +289,9 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
     sig = _minhash_sig_structs(docs, text_col, 3, fast_hash)
     n_bands = len(MINHASH_PARAMS) // rows_per_band
     # Per band: md5("<band>#<sorted 'h_idx:minhash' members joined by ','>")
-    # — byte-identical to the previous shuffle-built key (and the oracle).
+    # — matches the DuckDB oracle (updated in step with this formulation;
+    # the pre-rewrite shuffle-built key had no 'h_idx:' prefix and no sort,
+    # so band keys persisted by older runs do NOT compare equal).
     band_keys = []
     for j in range(n_bands):
         members = F.array(*[
@@ -332,8 +334,9 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``rlike '\\S'`` is scan-cheap and prunes exactly the zero-token rows
     (tokens_col drops whitespace-only splits — trim() would miss
     tab/newline-only texts, which trim spaces only)."""
-    # token array staged as a REAL column (referenced twice: votes + count) —
-    # the md5-hash transform is referenced exactly once, inside aggregate
+    # token array staged as a REAL column so the md5-hash transform stays
+    # referenced exactly once, inside the aggregate — the CollapseProject/
+    # Generate re-inlining guard (see minhash_signatures / test_plan_audit)
     hashed = F.transform(F.col("_simh_toks"), lambda t: _md5_60(t))
     acc0 = F.struct(*[F.lit(0).alias(f"v{b}") for b in range(32)])
     votes = F.aggregate(

@@ -144,10 +144,14 @@ def differential_eval(
     ``diff_*`` booleans and both sides' values — ``diff_counts`` aggregates
     it; filter ``any_diff`` for the mismatch dump.
 
-    Joined LEFT from the baseline: the reference charges every dataset row,
+    FULL-outer joined on the key: the reference charges every dataset row,
     so an address the parser failed to emit counts as a full mismatch
-    (parse side normalized to ''/empty array, ``missing_parse`` flags it)
-    rather than silently vanishing from the totals."""
+    (parse side normalized to ''/empty array, ``missing_parse`` flags it),
+    and a parse row whose key has no baseline analog (key-normalization
+    drift, phantom emissions) is flagged ``extra_parse`` instead of
+    silently vanishing — ``diff_counts`` reports it separately while
+    charging per-field mismatches over baseline rows only (the reference's
+    denominator)."""
     p = adapt_result_cols(parsed).select(
         key,
         F.col("ctryname").alias("new_ctryname"),
@@ -164,14 +168,22 @@ def differential_eval(
         ).alias("base_ctrysubsubdivname"),
     )
     joined = (
-        b.join(p, key, "left")
-        .withColumn("missing_parse", F.col("new_ctryname").isNull())
+        b.join(p, key, "full")
+        .withColumn("extra_parse", F.col("base_ctryname").isNull())
+        .withColumn(
+            "missing_parse", F.col("new_ctryname").isNull() & ~F.col("extra_parse")
+        )
         .withColumns(
             {
                 "new_ctryname": F.coalesce("new_ctryname", F.lit("")),
                 "new_ctrysubdivname": F.coalesce("new_ctrysubdivname", F.lit("")),
                 "new_ctrysubsubdivname": F.coalesce(
                     "new_ctrysubsubdivname", F.array().cast("array<string>")
+                ),
+                "base_ctryname": F.coalesce("base_ctryname", F.lit("")),
+                "base_ctrysubdivname": F.coalesce("base_ctrysubdivname", F.lit("")),
+                "base_ctrysubsubdivname": F.coalesce(
+                    "base_ctrysubsubdivname", F.array().cast("array<string>")
                 ),
             }
         )
@@ -190,20 +202,25 @@ def differential_eval(
 
 def diff_counts(diffed: DataFrame) -> dict[str, int]:
     """Aggregate of ``differential_eval``: total rows + per-field mismatch
-    counts (the reference's ``summary`` Counter)."""
+    counts (the reference's ``summary`` Counter). ``total`` and the field
+    counts charge baseline rows only (the reference's denominator);
+    parse-only keys are reported as ``extra_parse``."""
+    charged = ~F.col("extra_parse")
     row = diffed.select(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(F.col("diff_ctryname").cast("long")).alias("ctryname"),
-        F.sum(F.col("diff_ctrysubdivname").cast("long")).alias("ctrysubdivname"),
-        F.sum(F.col("diff_ctrysubsubdivname").cast("long")).alias("ctrysubsubdivname"),
+        F.sum(charged.cast("long")).alias("total"),
+        F.sum((F.col("diff_ctryname") & charged).cast("long")).alias("ctryname"),
+        F.sum((F.col("diff_ctrysubdivname") & charged).cast("long")).alias("ctrysubdivname"),
+        F.sum((F.col("diff_ctrysubsubdivname") & charged).cast("long")).alias("ctrysubsubdivname"),
         F.sum(F.col("missing_parse").cast("long")).alias("missing_parse"),
+        F.sum(F.col("extra_parse").cast("long")).alias("extra_parse"),
     ).collect()[0]
     return {
-        "total": int(row["total"]),
+        "total": int(row["total"] or 0),
         "ctryname": int(row["ctryname"] or 0),
         "ctrysubdivname": int(row["ctrysubdivname"] or 0),
         "ctrysubsubdivname": int(row["ctrysubsubdivname"] or 0),
         "missing_parse": int(row["missing_parse"] or 0),
+        "extra_parse": int(row["extra_parse"] or 0),
     }
 
 

@@ -105,6 +105,31 @@ def block_candidates(mentions: DataFrame, index_df: DataFrame) -> DataFrame:
 EARLY_BREAK = 200  # reference scan break (inexus_parser.py:2829-2831)
 
 
+def _validate_det_cols(mention_attrs: DataFrame, inv: dict) -> DataFrame:
+    """Reference ``_validate_detected_value`` (inexus_parser.py:1900-1905): a
+    detected alias only counts when it exists as an invert-map key at its
+    level. The fused kernel (resolve_one) and the repair UDF both nullify
+    unregistered aliases; the relational strategy must see the SAME nullified
+    det columns before prioritization, component boosts, the unsupported
+    penalty, and the new-format bonus — otherwise the two strategies can pick
+    different winners for the same mention. JVM-side: broadcast left-join
+    against each level's key set (short strings, catalog-bounded) — no
+    Python on this path."""
+    from pyspark.sql import types as T
+
+    spark = mention_attrs.sparkSession
+    schema = T.StructType([T.StructField("_vk", T.StringType())])
+    for col, level in (("det_p", "province"), ("det_d", "district"), ("det_w", "ward")):
+        keys = spark.createDataFrame([(k,) for k in inv[level]], schema)
+        mention_attrs = (
+            mention_attrs
+            .join(F.broadcast(keys), F.col(col) == F.col("_vk"), "left")
+            .withColumn(col, F.col("_vk"))
+            .drop("_vk")
+        )
+    return mention_attrs
+
+
 def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
                      inv: dict | None = None) -> DataFrame:
     """Dice gate (with the reference's early break) → prefilter prioritization
@@ -113,14 +138,18 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
     ``inv`` is the per-level alias→node-ids invert map
     (functions.udfs.build_resolver_state()["inv"]); when provided, candidates
     agreeing with ALL detected components are prioritized before the
-    120-candidate slice exactly like the reference (:2836-2850)."""
+    120-candidate slice exactly like the reference (:2836-2850), and detected
+    aliases missing from the invert map are nullified first
+    (``_validate_det_cols`` — parity with the fused kernel)."""
     mention_attrs = mentions.select(
-        "mid", "mention", "std", "n_in",
+        "mid", "mention", "std", "std_basic", "n_in",
         F.col("det.det_p").alias("det_p"),
         F.col("det.det_d").alias("det_d"),
         F.col("det.det_w").alias("det_w"),
         F.col("partial_flag").alias("partial_input"),
     )
+    if inv is not None:
+        mention_attrs = _validate_det_cols(mention_attrs, inv)
 
     by_hits = Window.partitionBy("mid").orderBy(F.desc("inter_rank"), F.asc("node_id"))
     per_mid = Window.partitionBy("mid")

@@ -32,6 +32,9 @@ def parsed(spark):
             ("a2", "Đà Nẵng", None, "Xuân Mỹ", "28 Hoàng Văn Thụ", "new", True),
             # unresolved street (empty array slot dropped)
             ("a3", "Hà Nội", "Thạch Thất", "Bình Yên", None, "old", False),
+            # parser-only key (no baseline analog — key-normalization drift):
+            # must surface as extra_parse, not silently vanish
+            ("a5", "Huế", "Phú Vang", "Phú Mỹ", "3 Lê Duẩn", "old", False),
         ],
         PARSED_SCHEMA,
     )
@@ -73,10 +76,14 @@ def test_differential_eval_counts_and_dump(spark, parsed):
         "ctrysubdivname": 2,
         "ctrysubsubdivname": 2,
         "missing_parse": 1,
+        "extra_parse": 1,
     }
     dump = {r["address"]: r for r in diffed.filter("any_diff").collect()}
-    assert set(dump) == {"a2", "a3", "a4"}
+    assert set(dump) == {"a2", "a3", "a4", "a5"}
     assert dump["a2"]["base_ctrysubdivname"] == "hòa giang"
     assert dump["a3"]["new_ctrysubsubdivname"] == ["bình yên"]
     assert dump["a4"]["missing_parse"] is True
     assert dump["a4"]["new_ctryname"] == ""
+    assert dump["a5"]["extra_parse"] is True
+    assert dump["a5"]["missing_parse"] is False
+    assert dump["a5"]["base_ctryname"] == ""
