@@ -380,7 +380,10 @@ def resolve_mentions(
       mentions) through a groupBy and three window passes.
     - ``relational``: blocking equi-join against the exploded posting index +
       JVM Dice gate + windowed caps + scoring UDF + max_by argmax. The right
-      strategy when the reference catalog is too large to broadcast.
+      strategy when the reference catalog is too large to broadcast —
+      measured 7.1× slower than the broadcast kernel at equal width
+      (407 vs 2,910 pages/sec, 150k pages @ 16 cores; BASELINE.md
+      §"Final-code stage attribution"), the price of the candidate shuffle.
 
     ``mentions`` feeds both the distinct projection and the final fact join —
     checkpointed EAGERLY: AQE runs query-stage futures concurrently, and a
