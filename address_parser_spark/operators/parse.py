@@ -538,13 +538,17 @@ def resolve_mentions(
         # Gate on ESTIMATED BYTES, not rows: winners carries 15+ string
         # columns, so a row-count cap alone could ship a multi-GB broadcast
         # to the driver and every executor (OOM on clusters whose executors
-        # are smaller than the local driver). Sample-average row size ×
-        # count, kept under ~200 MB serialized.
+        # are smaller than the local driver). EXACT byte sum over the whole
+        # (checkpointed, ≤2M-row) frame, kept under ~200 MB serialized —
+        # well inside executor memory even at HashedRelation's ~2-4×
+        # in-memory expansion. A limit()-sample average would read only the
+        # first partition: heavy-tailed mention lengths concentrated
+        # elsewhere could slip a multi-hundred-MB broadcast past an average
+        # extrapolated from short rows.
         n_winners = winners.count()
         if 0 < n_winners <= 2_000_000:
-            sample_n = min(n_winners, 2_000)
-            avg_row = (
-                winners.limit(sample_n)
+            total_bytes = (
+                winners
                 .select(
                     F.sum(
                         sum(
@@ -559,8 +563,8 @@ def resolve_mentions(
                 )
                 .collect()[0]["b"]
                 or 0
-            ) / sample_n
-            broadcast_winners = n_winners * avg_row <= 200 * 1024 * 1024
+            )
+            broadcast_winners = total_bytes <= 200 * 1024 * 1024
     fact_k = fact.withColumn("_mk", F.xxhash64("mention"))
     winners_k = winners.withColumn("_mk", F.xxhash64("mention"))
     if broadcast_winners:

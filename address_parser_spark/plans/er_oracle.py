@@ -90,6 +90,10 @@ def local_er_expected(gaz, n_pages: int, seed: int = 42):
             }
 
     # Union-find clustering over anchor + string-identity edges.
+    # DELIBERATELY duplicates (not imports) the path-halving union-find in
+    # operators/cluster.py:_driver_union_find: this module is the test
+    # ORACLE — sharing the clustering kernel with the engine would let a
+    # bug in that kernel hide in both sides of the parity check.
     parent: dict = {}
 
     def find(x):

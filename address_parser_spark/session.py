@@ -57,6 +57,23 @@ def _master_cores(master: str) -> int | None:
     return None
 
 
+def _merge_confs(defaults: dict[str, str],
+                 extra: dict[str, str] | None) -> dict[str, str]:
+    """Caller confs win key-by-key, EXCEPT excludedRules, which unions.
+
+    The InferFiltersFromGenerate exclusion in DEFAULT_CONFS is load-bearing
+    (explode-of-computed-array stages regress ~10× without it); a caller
+    adding their own excluded rules must not silently drop it.
+    """
+    merged = {**defaults, **(extra or {})}
+    excl_key = "spark.sql.optimizer.excludedRules"
+    if extra and excl_key in extra and excl_key in defaults:
+        ours = [r.strip() for r in defaults[excl_key].split(",") if r.strip()]
+        theirs = [r.strip() for r in extra[excl_key].split(",") if r.strip()]
+        merged[excl_key] = ",".join(dict.fromkeys(ours + theirs))
+    return merged
+
+
 def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
@@ -81,6 +98,6 @@ def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
         confs["spark.sql.shuffle.partitions"] = str(max(2 * cores, 32))
     else:
         confs["spark.sql.shuffle.partitions"] = "32"
-    for key, value in {**confs, **(extra_confs or {})}.items():
+    for key, value in _merge_confs(confs, extra_confs).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

@@ -62,6 +62,7 @@ def extract_mentions(text: str) -> list[str]:
     for m in _TRIGGER.finditer(text):
         start = m.end()
         pos = start
+        fit_end: int | None = None  # longest abbreviation-dot cut ≤ cap
         while True:
             end_match = _SPAN_END.search(text, pos)
             if end_match is None:
@@ -73,10 +74,18 @@ def extract_mentions(text: str) -> list[str]:
                 and text[end] == "."
                 and _DOT_ABBREV.search(text, start, end)
             ):
+                if len(text[start:end].strip()) <= MAX_MENTION_LEN:
+                    fit_end = end
                 pos = end + 1  # abbreviation dot — keep scanning
                 continue
             break
-        push(text[start:end])
+        span = text[start:end]
+        if len(span.strip()) > MAX_MENTION_LEN and fit_end is not None:
+            # The abbreviation-dot extension overshot the length cap; the
+            # longest unextended cut still yields a usable (shorter)
+            # mention — prefer that to dropping the span entirely.
+            span = text[start:fit_end]
+        push(span)
         if len(out) >= MAX_MENTIONS_PER_DOC:
             return out
 

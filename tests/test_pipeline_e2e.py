@@ -47,6 +47,16 @@ def test_extraction_byte_identity(corpus):
             assert got == want, f"false spans on {url}: {got - want}"
 
 
+def test_overlong_abbrev_extension_falls_back_to_longest_cut():
+    # An abbreviation dot ("TP.") extends the span into a long terminator-free
+    # tail that overshoots MAX_MENTION_LEN. The extractor must fall back to
+    # the longest unextended cut (here: through "TP") instead of silently
+    # dropping the mention.
+    addr = "12 Nguyễn Trãi, P. Bến Thành, Q. 1, TP"
+    text = "Địa chỉ: " + addr + ". " + "x" * 250
+    assert extract_mentions(text) == [addr]
+
+
 def test_blocking_recall_on_gold_pairs(spark, corpus, clustered):
     _, golds = corpus
     gold_df = (

@@ -149,6 +149,35 @@ def test_minhash_signature_pipeline_is_evaluated_exactly_once(spark, queries):
     assert "Filter" not in optimized
 
 
+def test_minhash_band_pairs_evaluates_shingles_exactly_once(spark, queries):
+    # minhash_band_pairs references the staged signature column 8 times
+    # (element_at(_sig, i) per band) feeding a Generate — the exact
+    # CollapseProject/ColumnPruning re-inlining trap documented on
+    # minhash_signatures above. Pin the collapsed shape: one shingle
+    # generation, one tokenization, in the optimized plan.
+    df = queries["minhash_band_pairs"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("sequence(") == 1, optimized
+    assert optimized.count("split(") <= 1, optimized
+
+
+def test_get_spark_merges_caller_excluded_rules():
+    # A caller passing their own excludedRules must not silently drop the
+    # load-bearing InferFiltersFromGenerate exclusion — the factory unions.
+    from address_parser_spark.session import DEFAULT_CONFS, _merge_confs
+
+    merged = _merge_confs(DEFAULT_CONFS, {
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.ConstantFolding",
+        "spark.sql.session.timeZone": "UTC+7",
+    })
+    excl = merged["spark.sql.optimizer.excludedRules"]
+    assert "InferFiltersFromGenerate" in excl
+    assert "ConstantFolding" in excl
+    # ordinary keys: caller wins outright
+    assert merged["spark.sql.session.timeZone"] == "UTC+7"
+
+
 def test_excluded_optimizer_rules_survive_session_config(spark):
     # The engine-wide exclusion is part of the execution posture (see
     # session.py DEFAULT_CONFS); losing it silently doubles every
