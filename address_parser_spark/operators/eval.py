@@ -194,9 +194,17 @@ def differential_eval(
         "diff_ctrysubsubdivname": F.col("new_ctrysubsubdivname") != F.col("base_ctrysubsubdivname"),
     }
     out = joined.withColumns(diffs)
+    # missing_parse / extra_parse are included explicitly: a one-sided row
+    # whose compared fields are all empty matches the coalesced empty other
+    # side, so the field-diff flags alone would silently drop it from the
+    # mismatch dump even though diff_counts charges it.
     return out.withColumn(
         "any_diff",
-        F.col("diff_ctryname") | F.col("diff_ctrysubdivname") | F.col("diff_ctrysubsubdivname"),
+        F.col("diff_ctryname")
+        | F.col("diff_ctrysubdivname")
+        | F.col("diff_ctrysubsubdivname")
+        | F.col("missing_parse")
+        | F.col("extra_parse"),
     )
 
 

@@ -545,26 +545,27 @@ def resolve_mentions(
         # first partition: heavy-tailed mention lengths concentrated
         # elsewhere could slip a multi-hundred-MB broadcast past an average
         # extrapolated from short rows.
-        n_winners = winners.count()
-        if 0 < n_winners <= 2_000_000:
-            total_bytes = (
-                winners
-                .select(
-                    F.sum(
-                        sum(
-                            # octet_length: UTF-8 BYTES, not code points — accented
-                            # Vietnamese text is ~1.5-2× its character count on the wire.
-                            (F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
-                             + F.lit(8)
-                             for c in winners.columns),
-                            F.lit(0),
-                        )
-                    ).alias("b")
+        # ONE aggregation job computes both the row count and the byte sum —
+        # the gate previously ran count() then a second full-frame scan,
+        # i.e. two driver-blocking jobs per broadcast-strategy run.
+        gate = winners.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                sum(
+                    # octet_length: UTF-8 BYTES, not code points — accented
+                    # Vietnamese text is ~1.5-2× its character count on the wire.
+                    (F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
+                     + F.lit(8)
+                     for c in winners.columns),
+                    F.lit(0),
                 )
-                .collect()[0]["b"]
-                or 0
-            )
-            broadcast_winners = total_bytes <= 200 * 1024 * 1024
+            ).alias("b"),
+        ).collect()[0]
+        n_winners = int(gate["n"] or 0)
+        total_bytes = int(gate["b"] or 0)
+        broadcast_winners = (
+            0 < n_winners <= 2_000_000 and total_bytes <= 200 * 1024 * 1024
+        )
     fact_k = fact.withColumn("_mk", F.xxhash64("mention"))
     winners_k = winners.withColumn("_mk", F.xxhash64("mention"))
     if broadcast_winners:

@@ -30,6 +30,11 @@ _SPAN_END = re.compile(r"\.(?=\s|$)|[\n;!?]|$")
 # abbreviation even when followed by a space — the span continues past it.
 _DOT_ABBREV = re.compile(r"\b(?:tp|tx|tt|p|q|h|x)$", re.IGNORECASE)
 
+# When the overshoot fallback cuts at an abbreviation dot, the span ends with
+# the bare prefix token itself ("…, TP") — a stray token with no following
+# name. Strip it (plus its separating comma/whitespace) before emitting.
+_TRAILING_BARE_ABBREV = re.compile(r"[\s,]*\b(?:tp|tx|tt|p|q|h|x)$", re.IGNORECASE)
+
 # Administrative keywords for the density heuristic on untriggered lines.
 _ADMIN_KEYWORD = re.compile(
     r"\b(?:phường|xã|quận|huyện|tỉnh|thành\s*phố|thị\s*xã|thị\s*trấn"
@@ -83,8 +88,11 @@ def extract_mentions(text: str) -> list[str]:
         if len(span.strip()) > MAX_MENTION_LEN and fit_end is not None:
             # The abbreviation-dot extension overshot the length cap; the
             # longest unextended cut still yields a usable (shorter)
-            # mention — prefer that to dropping the span entirely.
-            span = text[start:fit_end]
+            # mention — prefer that to dropping the span entirely. The cut
+            # lands AT an abbreviation dot, so the raw slice ends with the
+            # bare prefix token ("…, TP") — strip it so a dangling admin
+            # prefix never reaches detection/normalization.
+            span = _TRAILING_BARE_ABBREV.sub("", text[start:fit_end].rstrip())
         push(span)
         if len(out) >= MAX_MENTIONS_PER_DOC:
             return out
