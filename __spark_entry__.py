@@ -272,6 +272,49 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=3, bucket_dims=4)
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (stdlib) multimodal decode, round-trip proven: doc_id % 3 picks
+    PNG / zlib-compressed-text / WAV, the payload is built with the module's
+    encoders in a mapInPandas stage (real bytes, real containers), and
+    ``decode_media(decode_backend="real")`` parses the header fields back.
+    The oracle re-derives those fields arithmetically from doc_id/text — a
+    mismatch means the parser did NOT recover what was encoded."""
+    import pandas as pd
+
+    from address_parser_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+        encode_text,
+        encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(batches):
+        for b in batches:
+            payloads = []
+            for did, text in zip(b["doc_id"], b["text"]):
+                did = int(did)
+                if did % 3 == 0:
+                    payloads.append(encode_png(16 + did % 64, 16 + (did * 7) % 64))
+                elif did % 3 == 1:
+                    payloads.append(encode_text(text or "", "zlib"))
+                else:
+                    payloads.append(encode_wav(8000 + (did % 5) * 8000, 4))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "html": payloads})
+
+    payloads = docs.mapInPandas(_encode, schema="doc_id long, html binary")
+    return decode_media(payloads, decode_backend="real").select(
+        "doc_id",
+        F.col("media.media_type").alias("media_type"),
+        F.col("media.format").alias("media_format"),
+        F.col("media.width").cast("long").alias("width"),
+        F.col("media.height").cast("long").alias("height"),
+        F.col("media.sample_rate").cast("long").alias("sample_rate"),
+        F.col("media.text_chars").cast("long").alias("text_chars"),
+    )
+
+
 def q_er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking on generic text: sorted-token prefix key → block sizes."""
     docs = _t(spark, sf_dir, "documents")
@@ -374,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "media_decode": q_media_decode,
         "er_blocking_stats": q_er_blocking_stats,
         "connected_components": q_connected_components,
         "er_resolve_pages": q_er_resolve_pages,
@@ -694,6 +738,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        # Round-trip oracle: the Spark side ENCODES real container binaries
+        # keyed on doc_id and DECODES them with the stdlib parsers; the SQL
+        # side recomputes the same header fields arithmetically. Agreement
+        # proves the real decoder inverts the encoder field-for-field.
+        "media_decode": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'text' ELSE 'audio' END AS media_type,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'zlib' ELSE 'wav' END AS media_format,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(16 + doc_id % 64 AS BIGINT) END AS width,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(16 + (doc_id * 7) % 64 AS BIGINT) END AS height,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) END AS sample_rate,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN CAST(length(coalesce(text, '')) AS BIGINT) END AS text_chars
+            FROM documents
         """,
         "er_blocking_stats": f"""
             SELECT array_to_string(list_sort(list_distinct(toks))[1:2], ' ') AS block_key,

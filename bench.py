@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "cosine_topk",
     "ann_lsh",
+    "media_decode",
     "er_blocking_stats",
     "connected_components",
 ]
