@@ -142,6 +142,13 @@ def run_pipeline(
             return build().localCheckpoint(eager=True)
         return store.run_stage(name, build, partition_by=partition_by)
 
+    # html:binary intake (BASELINE.json input_hint): pages whose text column
+    # is null/empty get it extracted from markup; fully-texted frames take
+    # the pure-JVM branch of the union (textops/html.py).
+    from address_parser_spark.textops.html import ensure_text
+
+    pages = ensure_text(pages)
+
     resolved = stage(
         "resolved",
         lambda: resolve_mentions(

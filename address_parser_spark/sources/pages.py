@@ -414,8 +414,45 @@ def render_page(page_id: int, gidx: _GazIndex, seed: int = 42) -> tuple[tuple, l
             golds.append((url, mention) + codes)
 
     text = "\n".join(lines)
-    page = (url, ts, b"<html><body>" + text.encode("utf-8") + b"</body></html>", text, lang)
+    page = (url, ts, _render_html(rng, lines, lang, url), text, lang)
     return page, golds
+
+
+def _render_html(rng: random.Random, lines: list[str], lang: str, url: str) -> bytes:
+    """Realistic markup for the page, with the html→text invariant pinned:
+    ``textops.html.html_to_text(html) == text`` byte-for-byte for every page
+    (tests/test_textops_golden.py). Chrome (head/script/style/comments),
+    block wrappers, inline tags, and entity references are all drawn AFTER
+    the content/gold draws, so gold mentions are unchanged vs prior rounds.
+    """
+    import html as _htmlmod
+
+    parts = [
+        f'<!DOCTYPE html><html lang="{lang}"><head><title>{url}</title>',
+        '<meta charset="utf-8"><style>body { font: 14px sans-serif; }</style></head><body>',
+    ]
+    if rng.random() < 0.4:
+        parts.append("<script>var n = 1 < 2 && true; track('%s');</script>" % url)
+    for line in lines:
+        esc = _htmlmod.escape(line)
+        # entity-encode one accented char as a numeric reference sometimes —
+        # exercises full entity decode, unescape() restores the exact char
+        non_ascii = [c for c in esc if ord(c) > 127]
+        if non_ascii and rng.random() < 0.5:
+            c = rng.choice(non_ascii)
+            esc = esc.replace(c, f"&#{ord(c)};", 1)
+        words = esc.split(" ")
+        if len(words) > 2 and rng.random() < 0.3:
+            i = rng.randrange(len(words))
+            tag = rng.choice(("b", "em", "span"))
+            words[i] = f"<{tag}>{words[i]}</{tag}>"
+            esc = " ".join(words)
+        wrapper = rng.choice(("p", "p", "div", "li"))
+        parts.append(f"<{wrapper}>{esc}</{wrapper}>")
+        if rng.random() < 0.2:
+            parts.append("<!-- boundary -->")
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
 
 
 def synth_pages_local(gaz: Gazetteer, n_pages: int, seed: int = 42) -> tuple[list[tuple], list[tuple]]:

@@ -59,3 +59,20 @@ def test_paths_agree_on_random_graph(spark):
     fast = _cc(spark, edges, None)
     slow = _cc(spark, edges, 0)
     assert fast == slow
+
+
+def test_rounds_bound_on_long_chain(spark):
+    """Pins the O(log n) round-count claim (Kiveris et al. §3: alternating
+    large-star/small-star at least halves path lengths per round). A path
+    graph is the adversarial shape; a 1024-node chain must converge in at
+    most 2·log2(n) rounds — and the measured count is asserted, not assumed
+    (cluster.py's round complexity is otherwise only cited)."""
+    import math
+
+    n = 1024
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    timings: dict = {}
+    rows = connected_components(df, small_graph_edges=0, timings=timings).collect()
+    comp = {r["id"]: r["component"] for r in rows}
+    assert all(comp[i] == 0 for i in range(n))
+    assert 1 <= timings["cc_rounds"] <= 2 * int(math.log2(n)), timings

@@ -50,10 +50,11 @@ def test_extraction_byte_identity(corpus):
 def test_overlong_abbrev_extension_falls_back_to_longest_cut():
     # An abbreviation dot ("TP.") extends the span into a long terminator-free
     # tail that overshoots MAX_MENTION_LEN. The extractor must fall back to
-    # the longest unextended cut (here: through "TP") instead of silently
-    # dropping the mention.
-    addr = "12 Nguyễn Trãi, P. Bến Thành, Q. 1, TP"
-    text = "Địa chỉ: " + addr + ". " + "x" * 250
+    # the longest unextended cut instead of silently dropping the mention —
+    # and strip the dangling bare admin-prefix token the cut lands on (the
+    # ", TP" with no following name), so no stray token reaches detection.
+    addr = "12 Nguyễn Trãi, P. Bến Thành, Q. 1"
+    text = "Địa chỉ: " + addr + ", TP. " + "x" * 250
     assert extract_mentions(text) == [addr]
 
 
@@ -121,3 +122,21 @@ def test_resume_from_checkpoint(spark, gaz, corpus, tmp_path_factory):
     # identical cluster structure, not just row count
     b = second.select("mid", "cluster_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pipeline_from_html_only_pages(spark, gaz, corpus, clustered):
+    """input_hint closure: pages arriving with ONLY the html:binary column
+    populated (text null) must produce exactly the text-path pipeline output
+    — ensure_text() extracts the text from markup, and since html_to_text is
+    byte-identical to the text column on this corpus, every downstream row
+    (mention, std, entity_key) matches. F1 gate therefore holds verbatim."""
+    pages, _ = corpus
+    pages_df = (
+        spark.createDataFrame(pages, PAGES_SCHEMA)
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    out = run_pipeline(spark, pages_df, gaz)
+    cols = ["url", "mention", "std", "entity_key"]
+    got = {tuple(r) for r in out.select(*cols).collect()}
+    want = {tuple(r) for r in clustered.select(*cols).collect()}
+    assert got == want

@@ -64,4 +64,7 @@ def test_schemas(spark, gaz):
     golds = gold_mentions_spark(spark, gaz, 5)
     assert golds.schema == GOLD_SCHEMA
     row = pages.filter(F.col("lang") == "vi").first()
-    assert row["html"].startswith(b"<html>")
+    assert row["html"].startswith(b"<!DOCTYPE html>")
+    # html→text invariant holds on the distributed generator too
+    from address_parser_spark.textops.html import html_to_text
+    assert html_to_text(bytes(row["html"])) == row["text"]
