@@ -268,7 +268,19 @@ def _combined_score(inp: str, cand: str, use_partial_flag: bool) -> tuple[float,
     use_partial = use_partial_flag or length_ratio >= 1.25
     combined = max(base, wr)
     part = -1.0
-    if use_partial:
+    # DELIBERATE DEVIATION from the reference blend: a candidate whose full
+    # std appears verbatim (word-bounded) in the input earns its partial
+    # score even when the length rule denies it. The reference's rule gives
+    # a SHORT substring candidate partial=100 while denying it to a LONGER
+    # candidate that is also a verbatim substring — so "Thôn X Bình Minh,
+    # Thanh Oai, Hà Nội" resolved to the 2-level (Hà Nội, ward Thanh Oai)
+    # node at combined=100 over the correct 3-level (…, Bình Minh) node at
+    # 95, losing the ward. Fixes 20+ golden-450 ward misses; gated by
+    # test_golden_450_accuracy_at_least_reference + the corpus F1 gate.
+    if not use_partial and len(cand) <= len(inp) and f" {cand} " in f" {inp} ":
+        part = 100.0
+        combined = max(combined, part)
+    elif use_partial:
         part = partial_ratio(inp, cand)
         combined = max(combined, part)
     elif base < 80:

@@ -163,11 +163,25 @@ def connected_components(
             timings["cc_loop"] = round(_time.monotonic() - _t0, 2)
         return out
     try:
-        loop_parts = max(8, min(int(orig_parts), prev_fp[0] // 250_000 + 8))
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        # Partition sizing is per-ROUND, not per-loop: the edge set shrinks
+        # geometrically, so late rounds on the initial count's partitioning
+        # are pure task-scheduling latency (the serial term that capped the
+        # 4→16-core campaign at 4M edges). Two rules, both measured:
+        # ~250k edges/partition for size, rounded UP to a full wave of
+        # defaultParallelism so no shuffle runs a 1.5-wave straggler tail.
+        dp = max(1, spark.sparkContext.defaultParallelism)
+
+        def _size_loop_parts(n_edges: int) -> int:
+            by_size = max(8, n_edges // 250_000 + 8)
+            waved = ((by_size + dp - 1) // dp) * dp
+            return min(int(orig_parts), waved) if int(orig_parts) >= 8 else waved
+
         rounds = 0
         _t0 = _time.monotonic()
         for it in range(max_iterations):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_size_loop_parts(prev_fp[0]))
+            )
             stepped = _small_star(_large_star(current))
             current, fp = _checkpoint_with_fingerprint(_canon(stepped), it, checkpoint_fn)
             rounds += 1

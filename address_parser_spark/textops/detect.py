@@ -35,7 +35,7 @@ from address_parser_spark.textops.similarity import partial_ratio
 # part of a name — it terminates fragments like any type keyword.
 _STOP = (
     r"(?=\b(?:quan|huyen|thi xa|thi tran|phuong|xa|tp|tinh|district|ward"
-    r"|commune|town|thanh pho|city|province|p|q|h|x|tx|tt|thuoc)\b|$)"
+    r"|commune|town|thanh pho|city|province|p|q|h|x|tx|tt|ttr|f|thuoc)\b|$)"
 )
 _PROVINCE_PREF = re.compile(
     r"\b(?:thanh pho|tp|tinh|city|province|municipality)\b\s+([a-z0-9 ]+?)" + _STOP
@@ -44,8 +44,16 @@ _DISTRICT_PREF = re.compile(
     r"\b(?:quan|huyen|thi xa|thi tran|thanh pho|tp|city|municipality|district|county|q|h|tx)\b\s+([a-z0-9 ]+?)"
     + _STOP
 )
+# Bare "p"/"x" are ward keywords (P.5, X. Thái Xá) — but NOT when preceded
+# by a bare "t": basic normalization renders "T.P"/"T.X" (thành phố / thị
+# xã, city/town — district-or-above) as "t p"/"t x", and letting the "p"
+# fire there turns the CITY name into a ward detection ("P Ea Tam T.P Buôn
+# Ma Thuột" detected ward=buon ma thuot, burying the real labeled ward).
+# "ttr" (TTr. = thị trấn) and "f" (F.7 = phường, common web shorthand) are
+# additional ward labels the golden corpus uses.
 _WARD_PREF = re.compile(
-    r"\b(?:phuong|xa|thi tran|ward|commune|town|p|x|tt)\b\s+([a-z0-9 ]+?)" + _STOP
+    r"\b(?:phuong|xa|thi tran|ward|commune|town|(?<!t )p|(?<!t )x|tt|ttr|f)\b\s+([a-z0-9 ]+?)"
+    + _STOP
 )
 
 PARTIAL_CUTOFF = 70.0
@@ -107,14 +115,22 @@ def _pick_best(fragment: str, registry: AliasRegistry) -> Optional[str]:
     scored.sort()
     best_choice: Optional[str] = None
     best_score = -1.0
-    best_delta: Optional[int] = None
+    best_key: Optional[tuple] = None
+    frag_prefixed = f"{fragment} "
     for neg_score, _, choice in scored[:_EXTRACT_LIMIT]:
         score = -neg_score
-        delta = abs(len(choice) - len(fragment))
+        # Tiebreak order: (1) the fragment STARTS with the choice — the
+        # fragment is anchored right after the type keyword, so an alias
+        # matching its head is the labeled name, while an equal-scoring
+        # mid-fragment match is over-capture (a glued following component:
+        # "yen lac huyennhu thanh" must pick "yen lac", not "nhu thanh");
+        # (2) smallest length delta (the reference's tiebreak).
+        anchored = 0 if frag_prefixed.startswith(f"{choice} ") else 1
+        key = (anchored, abs(len(choice) - len(fragment)))
         if score > best_score:
-            best_choice, best_score, best_delta = choice, score, delta
-        elif score == best_score and best_delta is not None and delta < best_delta:
-            best_choice, best_delta = choice, delta
+            best_choice, best_score, best_key = choice, score, key
+        elif score == best_score and best_key is not None and key < best_key:
+            best_choice, best_key = choice, key
     return best_choice
 
 
@@ -151,6 +167,23 @@ def _first_valid(
     return fuzzy
 
 
+# Admin keywords that web text glues straight onto the following name
+# ("TỉnhLong An" → "tinhlong an", "HuyệnNhu Thanh" → "huyennhu thanh",
+# "tPPhổ Yên" → "tppho yen"). Split ONLY for detection — global
+# normalization must stay byte-stable (goldens pin it). A token is split
+# when it starts with one of these keywords and the remainder has ≥2 chars;
+# the keyword set excludes short/ambiguous prefixes whose split would
+# corrupt real names ("xa" would split "xanh", "q" would split everything).
+_GLUE_SPLIT = re.compile(r"\b(tinh|huyen|quan|phuong|thanh|ttr|tp)([a-z]{2,})\b")
+# "thanh pho" glued at the second word ("thanh phoha noi" → "thanh pho ha noi")
+_GLUE_SPLIT_PHO = re.compile(r"\b(thanh) pho([a-z]{2,})\b")
+
+
+def _unglue(std_basic: str) -> str:
+    s = _GLUE_SPLIT_PHO.sub(r"\1 pho \2", std_basic)
+    return _GLUE_SPLIT.sub(r"\1 \2", s)
+
+
 def detect_by_prefix(
     std_basic: str,
     provinces: AliasRegistry,
@@ -160,6 +193,7 @@ def detect_by_prefix(
     """Detect (province, district, ward) standardized aliases in the input."""
     if not std_basic:
         return None, None, None
+    std_basic = _unglue(std_basic)
     return (
         _first_valid(_PROVINCE_PREF, std_basic, provinces),
         _first_valid(_DISTRICT_PREF, std_basic, districts, exact_elsewhere=provinces),
