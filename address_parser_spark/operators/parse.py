@@ -210,8 +210,21 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
         .filter(F.col("rk") <= SCORE_CANDIDATES)
         .select("mid", "node_id", "inter", "dice", "partial_input")
     )
-    gated = gated_ids.join(
-        mention_attrs.drop("n_in", "partial_input"), "mid"
+    gated = (
+        gated_ids.join(mention_attrs.drop("n_in", "partial_input"), "mid")
+        # Distinct-std memoization, the relational analog of the broadcast
+        # kernel's trick: equal stds have IDENTICAL gram sets, hence
+        # identical candidate sets and (std, cand_std) score pairs, and
+        # candidate_score_udf memoizes (std, cand_std, flag) per Arrow
+        # batch — but only if equal stds share a batch. Hash-by-mid scatter
+        # gives the memo ~zero hits; an explicit std repartition (a count
+        # AQE never coalesces — this stage is python-CPU-bound, tiny in
+        # bytes) turns n street-variant duplicates of one entity into one
+        # scored set + (n-1) memo hits. Output-identical by construction;
+        # pinned by tests/test_strategy_parity.py.
+        .repartition(
+            2 * cands.sparkSession.sparkContext.defaultParallelism, F.col("std")
+        )
     )
 
     node_side = F.broadcast(
