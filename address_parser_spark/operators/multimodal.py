@@ -93,8 +93,17 @@ def _parse_gif(b: bytes) -> Optional[dict]:
 
 
 def _parse_bmp(b: bytes) -> Optional[dict]:
-    """BMP: BITMAPINFOHEADER width/height are little-endian i32 at 18..26."""
+    """BMP: BITMAPINFOHEADER width/height are little-endian i32 at 18..26.
+
+    'BM' alone is plausible TEXT (unlike the other signatures), so the sniff
+    also requires the reserved words at 6..10 to be zero and the DIB header
+    size at 14..18 to be a known value — otherwise a text payload starting
+    with "BM…" would decode address characters as image dimensions."""
     if len(b) < 26 or b[:2] != b"BM":
+        return None
+    if b[6:10] != b"\x00\x00\x00\x00":
+        return None
+    if struct.unpack("<I", b[14:18])[0] not in (12, 40, 52, 56, 64, 108, 124):
         return None
     w, h = struct.unpack("<ii", b[18:26])
     return {"media_type": "image", "format": "bmp", "width": w, "height": abs(h),

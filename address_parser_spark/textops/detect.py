@@ -45,14 +45,17 @@ _DISTRICT_PREF = re.compile(
     + _STOP
 )
 # Bare "p"/"x" are ward keywords (P.5, X. Thái Xá) — but NOT when preceded
-# by a bare "t": basic normalization renders "T.P"/"T.X" (thành phố / thị
-# xã, city/town — district-or-above) as "t p"/"t x", and letting the "p"
-# fire there turns the CITY name into a ward detection ("P Ea Tam T.P Buôn
-# Ma Thuột" detected ward=buon ma thuot, burying the real labeled ward).
+# by a bare "t" TOKEN: basic normalization renders "T.P"/"T.X" (thành phố /
+# thị xã, city/town — district-or-above) as "t p"/"t x", and letting the
+# "p" fire there turns the CITY name into a ward detection ("P Ea Tam T.P
+# Buôn Ma Thuột" detected ward=buon ma thuot, burying the real labeled
+# ward). The lookbehind is word-bounded — only the bare token "t" blocks,
+# never a word that merely ENDS in t ("Bến Cát P. Mỹ Phước" must still
+# detect its ward; final-t syllables are everywhere in Vietnamese).
 # "ttr" (TTr. = thị trấn) and "f" (F.7 = phường, common web shorthand) are
 # additional ward labels the golden corpus uses.
 _WARD_PREF = re.compile(
-    r"\b(?:phuong|xa|thi tran|ward|commune|town|(?<!t )p|(?<!t )x|tt|ttr|f)\b\s+([a-z0-9 ]+?)"
+    r"\b(?:phuong|xa|thi tran|ward|commune|town|(?<!\bt )p|(?<!\bt )x|tt|ttr|f)\b\s+([a-z0-9 ]+?)"
     + _STOP
 )
 
@@ -174,7 +177,11 @@ def _first_valid(
 # when it starts with one of these keywords and the remainder has ≥2 chars;
 # the keyword set excludes short/ambiguous prefixes whose split would
 # corrupt real names ("xa" would split "xanh", "q" would split everything).
-_GLUE_SPLIT = re.compile(r"\b(tinh|huyen|quan|phuong|thanh|ttr|tp)([a-z]{2,})\b")
+# "quan(?!g)": glued CamelCase "Quang*" names ("QuangTrung", "QuangNam")
+# normalize to tokens starting with "quang" — splitting them at "quan"
+# fabricates a district keyword plus a garbage fragment and hallucinates a
+# detection. Quang-initial names vastly outnumber glued "Quận G…" strings.
+_GLUE_SPLIT = re.compile(r"\b(tinh|huyen|quan(?!g)|phuong|thanh|ttr|tp)([a-z]{2,})\b")
 # "thanh pho" glued at the second word ("thanh phoha noi" → "thanh pho ha noi")
 _GLUE_SPLIT_PHO = re.compile(r"\b(thanh) pho([a-z]{2,})\b")
 

@@ -45,7 +45,11 @@ _BLOCK_BOUNDARY = re.compile(
     r"|blockquote|pre))\s*>",
     re.IGNORECASE,
 )
-_TAG = re.compile(r"<[^>]*>")
+# A '<' only opens a tag when followed by a tag-name start, '/', '!' or '?'
+# (the HTML5 tokenizer rule) — a literal '<' in text ("gia < 100k") is
+# CONTENT; stripping to the next '>' would silently swallow everything
+# between, address mentions included.
+_TAG = re.compile(r"<[a-zA-Z/!?][^>]*>")
 _HSPACE = re.compile(r"[ \t\r\f\v ]+")
 
 

@@ -61,24 +61,24 @@ STAR_BASE, BLOB_BASE = 1 << 40, 1 << 41
 chain = (
     spark.range(n_chain, numPartitions=32)
     .select(
-        (F.expr("id div (1024 - 1)") * CL + F.col("id") % (CL - 1)).alias("src"),
-        (F.expr("id div (1024 - 1)") * CL + F.col("id") % (CL - 1) + 1).alias("dst"),
+        (F.expr(f"id div {{CL - 1}}") * CL + F.col("id") % (CL - 1)).alias("src"),
+        (F.expr(f"id div {{CL - 1}}") * CL + F.col("id") % (CL - 1) + 1).alias("dst"),
     )
 )
 star = (
     spark.range(n_star, numPartitions=32)
     .select(
-        (F.lit(STAR_BASE) + F.expr("id div 8192") * (SL + 1)).alias("src"),
-        (F.lit(STAR_BASE) + F.expr("id div 8192") * (SL + 1)
+        (F.lit(STAR_BASE) + F.expr(f"id div {{SL}}") * (SL + 1)).alias("src"),
+        (F.lit(STAR_BASE) + F.expr(f"id div {{SL}}") * (SL + 1)
          + 1 + F.col("id") % SL).alias("dst"),
     )
 )
 blob = (
     spark.range(n_blob, numPartitions=32)
     .select(
-        (F.lit(BLOB_BASE) + F.expr("id div 96") * BN
+        (F.lit(BLOB_BASE) + F.expr(f"id div {{BE}}") * BN
          + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(BN))).alias("src"),
-        (F.lit(BLOB_BASE) + F.expr("id div 96") * BN
+        (F.lit(BLOB_BASE) + F.expr(f"id div {{BE}}") * BN
          + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(BN))).alias("dst"),
     )
 )

@@ -173,3 +173,21 @@ def test_real_features_byte_histogram(spark):
              extract_media_features(df, decode_backend="real").collect()}
     assert feats["u1"][0] == 1.0 and sum(feats["u1"]) == 1.0
     assert all(abs(v - 1 / 16) < 1e-6 for v in feats["u2"])
+
+
+def test_bmp_sniff_rejects_text_starting_with_bm():
+    """Regression (round-5 review): 'BM' alone is plausible text; the sniff
+    must require zero reserved words + a known DIB header size."""
+    from address_parser_spark.operators.multimodal import _parse_bmp, _real_decode
+
+    text_payload = "BM Corporation, 123 Le Loi, Quan 1, TP HCM — lien he ngay".encode()
+    assert _parse_bmp(text_payload) is None
+    assert _real_decode(text_payload)["media_type"] == "text"
+    # a real BMP header still parses
+    import struct
+    bmp = (b"BM" + struct.pack("<I", 26 + 40) + b"\x00\x00\x00\x00"
+           + struct.pack("<I", 54) + struct.pack("<I", 40)
+           + struct.pack("<ii", 17, -9) + b"\x01\x00\x18\x00" + b"\x00" * 24)
+    got = _parse_bmp(bmp)
+    assert got == {"media_type": "image", "format": "bmp", "width": 17,
+                   "height": 9, "n_frames": 1}

@@ -97,3 +97,41 @@ def test_html_to_text_defensive_inputs():
     # unterminated script: swallowed to EOF is wrong; content after a lone
     # open tag must still surface (regex needs the closing tag to drop)
     assert html_to_text(b"<script>var x = 1;") == "var x = 1;"
+
+
+def test_detect_ward_keyword_after_final_t_token(gaz):
+    """Regression (round-5 review): the t-p/t-x suppression must block the
+    ward keyword only after a BARE "t" token (T.P/T.X normalization), never
+    after a word merely ending in t ("Bến Cát P. Mỹ Phước") — final-t
+    syllables are everywhere in Vietnamese."""
+    from address_parser_spark.gazetteer.nodes import alias_registries
+    from address_parser_spark.textops.detect import AliasRegistry, detect_by_prefix
+
+    regs = alias_registries(gaz)
+    rp, rd, rw = (AliasRegistry(regs[k]) for k in ("province", "district", "ward"))
+    # synthetic gazetteer: pick a real ward alias and place it after a
+    # final-t word with the bare "p" keyword
+    ward_alias = sorted(regs["ward"])[0]
+    _, _, dw = detect_by_prefix(f"thi xa ben cat p {ward_alias}", rp, rd, rw)
+    assert dw == ward_alias
+    # the T.P form (bare t token) must still be suppressed
+    _, _, dw2 = detect_by_prefix(f"so 9 t p {ward_alias}", rp, rd, rw)
+    assert dw2 != ward_alias or dw2 is None
+
+
+def test_glue_split_never_splits_quang_names():
+    from address_parser_spark.textops.detect import _unglue
+
+    assert _unglue("nha 5 quangtrung ha noi") == "nha 5 quangtrung ha noi"
+    assert _unglue("tinhquang nam") == "tinh quang nam"
+    assert _unglue("huyennhu thanh") == "huyen nhu thanh"
+    assert _unglue("thanh phoha noi") == "thanh pho ha noi"
+
+
+def test_html_literal_lt_is_content():
+    """Regression (round-5 review): a raw '<' in text is content per the
+    HTML5 tokenizer, not a tag opener — it must not swallow the page."""
+    from address_parser_spark.textops.html import html_to_text
+
+    out = html_to_text(b"<p>Gi\xc3\xa1 < 100k. \xc4\x90/c: 12 L\xc3\xaa L\xe1\xbb\xa3i, Q.1 x > y</p>")
+    assert "12 L" in out and "< 100k" in out
