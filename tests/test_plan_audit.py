@@ -185,3 +185,37 @@ def test_excluded_optimizer_rules_survive_session_config(spark):
     assert "InferFiltersFromGenerate" in spark.conf.get(
         "spark.sql.optimizer.excludedRules", ""
     )
+
+
+def test_media_decode_is_pure_map_chain(spark, queries):
+    """media_decode is scan → encode (mapInPandas) → decode (mapInPandas) →
+    project: a 100 TB decode stage must plan ZERO exchanges (any shuffle
+    here would move the raw payload bytes across the cluster) and read only
+    the two columns the encoder consumes."""
+    plan = plan_of(queries["media_decode"](spark, SF))
+    assert "Exchange" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_ensure_text_html_branch_isolated(spark, gaz):
+    """ensure_text must plan the html→text UDF on the filtered miss-branch
+    ONLY (one ArrowEvalPython total), with the null/empty predicate pushed
+    to both branch scans — the deliberate alternative to when(udf(html)),
+    which Catalyst would hoist into an unconditional projection over every
+    page's html bytes."""
+    from address_parser_spark.sources.pages import PAGES_SCHEMA, synth_pages_local
+    from address_parser_spark.textops.html import ensure_text
+
+    pages, _ = synth_pages_local(gaz, 30)
+    df = spark.createDataFrame(pages, PAGES_SCHEMA)
+    plan = plan_of(ensure_text(df))
+    # one UDF NODE (the formatted plan names each node in both the tree
+    # summary and the detail section, so count node headers)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    # both branches filter before the union (on a non-nullable local frame
+    # the isnull term constant-folds away, leaving the empty-string checks)
+    assert re.search(r"Condition : NOT \(text|isnotnull\(text", plan)
+    assert re.search(r"Condition : \(text|isnull\(text", plan)
+    assert "Union" in plan
