@@ -33,9 +33,13 @@ from address_parser_spark.textops.similarity import partial_ratio
 # synthetic-corpus F1 gate.
 # "thuoc" ("thuộc" = belongs-to) is a connector between components, never
 # part of a name — it terminates fragments like any type keyword.
+# Bare "t" terminates fragments: it only arises from dotted abbreviations
+# ("T.P"/"T.X"/"T." → "t p"/"t x"/"t") — Vietnamese names never contain a
+# lone "t" syllable, and without it "F Tân Dân T.Xã Nghi Sơn" captures the
+# fragment "tan dan t" (no exact registry hit) instead of "tan dan".
 _STOP = (
     r"(?=\b(?:quan|huyen|thi xa|thi tran|phuong|xa|tp|tinh|district|ward"
-    r"|commune|town|thanh pho|city|province|p|q|h|x|tx|tt|ttr|f|thuoc)\b|$)"
+    r"|commune|town|thanh pho|city|province|p|q|h|x|t|tx|tt|ttr|f|thuoc)\b|$)"
 )
 _PROVINCE_PREF = re.compile(
     r"\b(?:thanh pho|tp|tinh|city|province|municipality)\b\s+([a-z0-9 ]+?)" + _STOP
@@ -54,8 +58,11 @@ _DISTRICT_PREF = re.compile(
 # detect its ward; final-t syllables are everywhere in Vietnamese).
 # "ttr" (TTr. = thị trấn) and "f" (F.7 = phường, common web shorthand) are
 # additional ward labels the golden corpus uses.
+# "xa" gets the same bare-t lookbehind as p/x: "T.Xã" (thị xã, a town —
+# district level) normalizes to "t xa", and an unblocked "xa" there turns
+# the TOWN name into a ward detection.
 _WARD_PREF = re.compile(
-    r"\b(?:phuong|xa|thi tran|ward|commune|town|(?<!\bt )p|(?<!\bt )x|tt|ttr|f)\b\s+([a-z0-9 ]+?)"
+    r"\b(?:phuong|(?<!\bt )xa|thi tran|ward|commune|town|(?<!\bt )p|(?<!\bt )x|tt|ttr|f)\b\s+([a-z0-9 ]+?)"
     + _STOP
 )
 
