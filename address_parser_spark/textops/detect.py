@@ -89,13 +89,20 @@ class AliasRegistry:
     practice and turns an O(|registry|) scan into a postings-union probe.
     """
 
-    __slots__ = ("choices", "choice_set", "grams")
+    __slots__ = ("choices", "choice_set", "grams", "compressed")
 
     def __init__(self, choices: Sequence[str]):
         self.choices = list(choices)
         self.choice_set = frozenset(self.choices)
         self.grams: dict[str, list[int]] = {}
+        # space-free alias form → alias ("hanoi" → "ha noi"): web text glues
+        # CamelCase names ("Thành phốHàNội" normalizes to a spaceless token)
+        # that no fuzzy window scores reliably; an exact hit on the
+        # compressed form recovers the real alias (first choice wins on the
+        # rare compression collision — deterministic via sorted choices).
+        self.compressed: dict[str, str] = {}
         for idx, choice in enumerate(self.choices):
+            self.compressed.setdefault(choice.replace(" ", ""), choice)
             padded = f" {choice} "
             for i in range(max(len(padded) - 2, 0)):
                 self.grams.setdefault(padded[i : i + 3], []).append(idx)
@@ -114,6 +121,9 @@ def _pick_best(fragment: str, registry: AliasRegistry) -> Optional[str]:
         return None
     if fragment in registry.choice_set:
         return fragment
+    glued = registry.compressed.get(fragment.replace(" ", ""))
+    if glued:
+        return glued
     # top-10 by (score desc, registry order), then smallest length delta
     scored: list[tuple[float, int, str]] = []
     for order, choice in enumerate(registry.candidates(fragment)):
@@ -166,6 +176,15 @@ def _first_valid(
             continue
         if frag in registry.choice_set:
             return frag
+        comp = frag.replace(" ", "")
+        # the other-level poison guard must run BEFORE the compressed-form
+        # hit, and on the compressed form too — otherwise "thanh pho hanoi"
+        # hands "hanoi" to the DISTRICT detector as a valid hit
+        if exact_elsewhere is not None and comp in exact_elsewhere.compressed:
+            continue
+        glued = registry.compressed.get(comp)
+        if glued:
+            return glued
         if exact_elsewhere is not None and frag in exact_elsewhere.choice_set:
             # The fragment IS another level's alias, verbatim ("thanh pho
             # da nang" capturing "da nang" as a district candidate when

@@ -135,3 +135,20 @@ def test_html_literal_lt_is_content():
 
     out = html_to_text(b"<p>Gi\xc3\xa1 < 100k. \xc4\x90/c: 12 L\xc3\xaa L\xe1\xbb\xa3i, Q.1 x > y</p>")
     assert "12 L" in out and "< 100k" in out
+
+
+def test_detect_compressed_alias_with_poison_guard(gaz):
+    """Glued CamelCase names ("Thành phốHàNội" → fragment "hanoi") resolve
+    via the compressed-alias map — and the other-level poison guard runs on
+    the compressed form too, so the district detector must SKIP a fragment
+    that is exactly a province alias instead of claiming it."""
+    from address_parser_spark.gazetteer.nodes import alias_registries
+    from address_parser_spark.textops.detect import AliasRegistry, detect_by_prefix
+
+    regs = alias_registries(gaz)
+    rp, rd, rw = (AliasRegistry(regs[k]) for k in ("province", "district", "ward"))
+    prov = sorted(regs["province"], key=len)[-1]  # a multi-token province alias
+    glued = prov.replace(" ", "")
+    dp, dd, _ = detect_by_prefix(f"so 1 le loi thanh pho {glued}", rp, rd, rw)
+    assert dp == prov
+    assert dd != prov  # guard: the province fragment never becomes a district
