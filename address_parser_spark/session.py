@@ -74,6 +74,37 @@ def _merge_confs(defaults: dict[str, str],
     return merged
 
 
+# Sessions (by JVM SparkContext id) whose ICU case-mapping tables are already
+# loaded — the warm-up below runs once per JVM, not once per get_spark call.
+_ICU_WARMED: set[str] = set()
+
+
+def _warm_icu(spark: SparkSession) -> None:
+    """Force ICU's lazy one-time init (com.ibm.icu UCharacter/case-mapping
+    data) from ONE thread before any parallel stage needs it.
+
+    Spark 4 routes ``lower()``/``upper()`` through CollationSupport's ICU
+    path. ICU loads its Unicode tables in a static initializer on first use;
+    when the first use happens inside a 32-task stage, every task thread
+    piles onto the class-init lock and the stage serializes behind the load
+    (measured: the first ``lower(text)`` query after unrelated window queries
+    took 9–18 s at local[32]; the same query warm takes 0.3 s — thread dump
+    showed 31 executor threads parked in CollationSupport$Lower.execBinaryICU
+    waiting on com.ibm.icu.lang.UCharacter's initializer). One single-row
+    evaluation at session creation moves that init off every query path.
+    The lower() input is computed (not foldable) and non-ASCII so the ICU
+    full case-mapping path actually loads."""
+    from pyspark.sql import functions as F
+
+    key = spark.sparkContext.applicationId
+    if key in _ICU_WARMED:
+        return
+    spark.range(1).select(
+        F.lower(F.concat(F.lit("Đà Nẵng ICU warm-up Ξ"), F.col("id").cast("string")))
+    ).collect()
+    _ICU_WARMED.add(key)
+
+
 def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
@@ -100,4 +131,6 @@ def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
         confs["spark.sql.shuffle.partitions"] = "32"
     for key, value in _merge_confs(confs, extra_confs).items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_icu(spark)
+    return spark
