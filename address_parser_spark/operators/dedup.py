@@ -390,7 +390,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     # _grouped_docs_bounded): the df > max_df boilerplate keys this filter
     # exists for are exactly the ones that would otherwise accumulate
     # million-element arrays before being discarded.
-    grouped = _grouped_docs_bounded(raw_sh, "shh", max_df)
+    #
+    # The grouped doc lists feed TWO consumers (per-doc sizes, pair
+    # intersections). An aggregation output is not a reusable stage, so
+    # without a staging exchange each consumer re-runs the window sort +
+    # df-filter + collect_list over the FULL instance relation (measured at
+    # sf0.1: two Window/ObjectHashAggregate passes over 260k instances in
+    # one plan). Re-exchanging the compact (shh, df, docs) lists — ≤cap
+    # elements per row, orders of magnitude smaller than the instance
+    # relation at web scale — turns the second pass into a ReusedExchange
+    # read.
+    grouped = _grouped_docs_bounded(raw_sh, "shh", max_df).repartition(F.col("shh"))
     # per-doc surviving-shingle counts (compact post-shuffle longs, the
     # exchange below is reused for the pair branch)
     sizes = (
@@ -405,8 +415,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # Cheap integer-arithmetic pre-filter before the rounded ratio: round()
+    # goes through BigDecimal/double-to-string per row (a measured 26-thread
+    # dtoa hot spot with 1.1M candidate pairs feeding 258 survivors at
+    # sf0.1), so it must only run on pairs that can possibly pass. The
+    # margin keeps every pair whose ROUNDED ratio could still reach the
+    # threshold (round-half-up at 4 decimals moves a value by < 5e-5); the
+    # exact rounded filter below is unchanged, so results are bit-identical.
+    prefilter = F.col("inter") >= (
+        F.lit(threshold - 1e-4) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    )
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(prefilter)
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
