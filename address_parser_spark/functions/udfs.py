@@ -113,7 +113,8 @@ def partial_flag(std: str) -> bool:
     return bool(top5) and sum(c for _, c in top5) >= 12
 
 
-def make_extract_features_udf(registries: dict[str, list[str]], spark=None):
+def make_extract_features_udf(registries: dict[str, list[str]], spark=None,
+                              from_html: bool = False):
     """FUSED extraction + normalization (advanced & basic) + prefix detection
     in a single Arrow node.
 
@@ -122,9 +123,16 @@ def make_extract_features_udf(registries: dict[str, list[str]], spark=None):
     concurrently (task slots × UDF nodes processes; measured: a 32-core ×
     64-partition run spent ~25s spawning/importing ~128 workers). One fused
     UDF keeps it at one worker per task slot and one Arrow round-trip.
+
+    ``from_html=True`` prepends the markup→text extraction
+    (``textops.html.html_to_text``) to the same fused node, so the html-only
+    branch of the page union ALSO plans exactly one ArrowEvalPython —
+    chaining a separate html UDF in front re-created the two-workers-per-
+    task-slot shape this fusion exists to avoid.
     """
     from address_parser_spark.textops.detect import detect_by_prefix
     from address_parser_spark.textops.extract import extract_mentions
+    from address_parser_spark.textops.html import html_to_text
     from address_parser_spark.textops.normalize import normalize_advanced, normalize_basic
 
     _get_regs = _registry_udf_payload(registries, spark)
@@ -135,6 +143,8 @@ def make_extract_features_udf(registries: dict[str, list[str]], spark=None):
         det_cache: dict[str, tuple] = {}
 
         def run(t):
+            if from_html:
+                t = html_to_text(t)
             if not isinstance(t, str) or not t:
                 return []
             out = []

@@ -49,17 +49,45 @@ PARTIAL_MASS_THRESHOLD = 12
 
 
 def extract_normalize(pages: DataFrame, registries: dict[str, list[str]] | None = None,
-                      lang: str = "vi", carry_cols: list[str] | None = None) -> DataFrame:
+                      lang: str = "vi", carry_cols: list[str] | None = None,
+                      html_col: str = "html") -> DataFrame:
     """pages → one row per extracted mention: normalized forms, shingles,
     detected components, compact key. Narrow — no shuffle; the scan reads only
     (url, text, lang) plus any ``carry_cols`` (e.g. the event-time column for
-    the streaming path)."""
-    features = make_extract_features_udf(registries or {"province": [], "district": [], "ward": []},
-                                         spark=pages.sparkSession)
+    the streaming path).
+
+    When the frame carries an ``html`` column, pages whose ``text`` is
+    null/empty take a branch whose fused UDF FIRST extracts text from the
+    markup (``make_extract_features_udf(from_html=True)``). Same filtered-
+    union Catalyst shape as ``textops.html.ensure_text`` — texted rows never
+    ship html bytes to Python — but each branch plans exactly ONE
+    ArrowEvalPython: composing ensure_text in front of this function chained
+    the html UDF and the extract UDF in one stage, i.e. two concurrent
+    Python workers per task slot on the miss branch (and ~0.8 s of pure
+    overhead at the 1200-page bench even when the miss branch was empty)."""
+    regs = registries or {"province": [], "district": [], "ward": []}
+    features = make_extract_features_udf(regs, spark=pages.sparkSession)
+    base = pages.filter(F.col("lang") == lang)
+    carry = list(carry_cols or [])
+    if html_col in pages.columns:
+        features_html = make_extract_features_udf(
+            regs, spark=pages.sparkSession, from_html=True
+        )
+        need = F.col("text").isNull() | (F.col("text") == "")
+        exploded = (
+            base.filter(~need)
+            .select("url", *carry, F.explode(features(F.col("text"))).alias("f"))
+            .unionByName(
+                base.filter(need)
+                .select("url", *carry, F.explode(features_html(F.col(html_col))).alias("f"))
+            )
+        )
+    else:
+        exploded = base.select(
+            "url", *carry, F.explode(features(F.col("text"))).alias("f")
+        )
     return (
-        pages
-        .filter(F.col("lang") == lang)
-        .select("url", *(carry_cols or []), F.explode(features(F.col("text"))).alias("f"))
+        exploded
         .select(
             "url",
             *(carry_cols or []),
@@ -413,15 +441,37 @@ def resolve_mentions(
     if timings is not None:
         timings["extract_ckpt"] = round(_time.monotonic() - _t, 2)
 
+    # Distinct mentions in ONE exchange, already std-clustered for the
+    # kernel: ``dropDuplicates(["mention"])`` followed by the kernel's
+    # ``repartition(std)`` paid two shuffles of the mention relation.
+    # Repartitioning by std FIRST and deduplicating with a
+    # ``groupBy(std, mention)`` aggregate rides the same exchange —
+    # HashPartitioning(std) satisfies the aggregate's clustering requirement
+    # because equal mentions always share their (derived) std. The carried
+    # columns are pure functions of the mention text (one deterministic
+    # extract UDF), so ``first()`` per group is value-identical to
+    # dropDuplicates' arbitrary-row pick.
+    spark = pages.sparkSession
     uniq = (
         mentions
-        .dropDuplicates(["mention"])
+        # EXPLICIT partition count: the downstream kernel stage is
+        # python-CPU-bound but tiny in bytes — AQE's byte-driven coalescing
+        # would serialize it (an explicit repartition count is never
+        # AQE-coalesced). Equal stds co-locate for the kernel's score memo.
+        .repartition(2 * spark.sparkContext.defaultParallelism, F.col("std"))
+        .groupBy("std", "mention")
+        .agg(
+            F.first("std_basic").alias("std_basic"),
+            F.first("det").alias("det"),
+            F.first("grams").alias("grams"),
+            F.first("n_in").alias("n_in"),
+            F.first("partial_flag").alias("partial_flag"),
+        )
         .select(
             F.xxhash64("mention").alias("mid"),
             "mention", "std", "std_basic", "det", "grams", "n_in", "partial_flag",
         )
     )
-    spark = pages.sparkSession
 
     if nodes is None:
         nodes = [r.asDict() for r in nodes_df.collect()]
@@ -439,10 +489,9 @@ def resolve_mentions(
             # kernel memoizes (std, cand_std) per worker process, so
             # co-locating equal stds makes the memo hit rate match a global
             # memo (measured 1.75×→~6× effective speedup at 8 workers).
-            # EXPLICIT partition count: this stage is python-CPU-bound but
-            # tiny in bytes — AQE's byte-driven coalescing would serialize it
-            # (an explicit repartition count is never AQE-coalesced).
-            .repartition(2 * spark.sparkContext.defaultParallelism, F.col("std"))
+            # uniq is ALREADY std-partitioned at an explicit count (the
+            # dedup aggregate above rides that exchange), so the kernel
+            # plans directly on it — no second shuffle here.
             # explode(array(udf)) plants a GENERATOR between the kernel and
             # the downstream filter/projection: without it Catalyst's python-
             # UDF extraction materializes TWO chained ArrowEvalPython nodes
@@ -471,13 +520,37 @@ def resolve_mentions(
             .select("mention", "std", "w.*")
         )
         winners = _with_format_and_key(winners)
+        gate_obs = None
         if persist_intermediates:
             # Isolate the python-CPU-bound kernel into its own job: embedded
             # in the fact-join plan it inherits that plan's (byte-driven)
             # parallelism decisions — measured 52s vs 11s for the identical
             # kernel at local[32]. The frame is distinct-mention-sized.
+            #
+            # The broadcast-gate metrics (row count + serialized-byte
+            # estimate, consumed below) ride on THIS materialization via
+            # observe — the gate previously ran its own full-frame
+            # aggregation job after the checkpoint, one more driver barrier
+            # in the serial floor.
+            from pyspark.sql import Observation
+
+            gate_obs = Observation("winners_gate")
             _t = _time.monotonic()
-            winners = winners.localCheckpoint(eager=True)
+            winners = winners.observe(
+                gate_obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    sum(
+                        # octet_length: UTF-8 BYTES, not code points —
+                        # accented Vietnamese text is ~1.5-2× its character
+                        # count on the wire.
+                        (F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
+                         + F.lit(8)
+                         for c in winners.columns),
+                        F.lit(0),
+                    )
+                ).alias("b"),
+            ).localCheckpoint(eager=True)
             if timings is not None:
                 timings["resolve_kernel_ckpt"] = round(_time.monotonic() - _t, 2)
     else:
@@ -547,7 +620,6 @@ def resolve_mentions(
     fact = mentions.select("mid", "url", "mention")
     broadcast_winners = False
     if persist_intermediates and strategy == "broadcast":
-        # winners is checkpointed → counting is one cheap metadata-ish job.
         # Gate on ESTIMATED BYTES, not rows: winners carries 15+ string
         # columns, so a row-count cap alone could ship a multi-GB broadcast
         # to the driver and every executor (OOM on clusters whose executors
@@ -558,22 +630,10 @@ def resolve_mentions(
         # first partition: heavy-tailed mention lengths concentrated
         # elsewhere could slip a multi-hundred-MB broadcast past an average
         # extrapolated from short rows.
-        # ONE aggregation job computes both the row count and the byte sum —
-        # the gate previously ran count() then a second full-frame scan,
-        # i.e. two driver-blocking jobs per broadcast-strategy run.
-        gate = winners.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                sum(
-                    # octet_length: UTF-8 BYTES, not code points — accented
-                    # Vietnamese text is ~1.5-2× its character count on the wire.
-                    (F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
-                     + F.lit(8)
-                     for c in winners.columns),
-                    F.lit(0),
-                )
-            ).alias("b"),
-        ).collect()[0]
+        # ZERO extra jobs: both metrics were observed on the checkpoint
+        # materialization above (the gate previously ran its own
+        # driver-blocking full-frame aggregation).
+        gate = gate_obs.get
         n_winners = int(gate["n"] or 0)
         total_bytes = int(gate["b"] or 0)
         broadcast_winners = (

@@ -27,8 +27,7 @@ from address_parser_spark.gazetteer.nodes import (
 from address_parser_spark.gazetteer.synth import Gazetteer
 from address_parser_spark.operators.cluster import cluster_mentions, connected_components
 from address_parser_spark.operators.pairs import (
-    candidate_pairs,
-    match_edges,
+    equality_edges,
     with_blocking_keys,
 )
 from address_parser_spark.operators.parse import resolve_mentions
@@ -142,13 +141,12 @@ def run_pipeline(
             return build().localCheckpoint(eager=True)
         return store.run_stage(name, build, partition_by=partition_by)
 
-    # html:binary intake (BASELINE.json input_hint): pages whose text column
-    # is null/empty get it extracted from markup; fully-texted frames take
-    # the pure-JVM branch of the union (textops/html.py).
-    from address_parser_spark.textops.html import ensure_text
-
-    pages = ensure_text(pages)
-
+    # html:binary intake (BASELINE.json input_hint) is handled INSIDE
+    # extract_normalize: pages whose text column is null/empty take a union
+    # branch whose fused UDF extracts text from markup first; texted rows
+    # never ship html bytes to Python (same Catalyst shape as
+    # textops.html.ensure_text but one ArrowEvalPython per branch instead of
+    # a chained html UDF).
     resolved = stage(
         "resolved",
         lambda: resolve_mentions(
@@ -161,11 +159,14 @@ def run_pipeline(
     # durable store is attached — with a store it still lands as a resumable
     # snapshot stage.
     keyed = stage("keyed", lambda: with_blocking_keys(resolved), multi_consumer=False)
-    # Equality-only edge rule → raw pairs, no scoring UDF on this path
-    # (match_edges computes scores itself iff a jw_threshold is requested).
+    # Equality-only edge rule → the dedicated identity-hash pair generator:
+    # no canon/digit_sig strings through the block lists, no non-matching
+    # pair rows, no per-pair dedup shuffle (connected_components
+    # canonicalizes edges anyway). Same edge set as
+    # match_edges(candidate_pairs(...)) — pinned by test_pair_generation.
     edges = stage(
         "edges",
-        lambda: match_edges(candidate_pairs(keyed, max_block=max_block)),
+        lambda: equality_edges(keyed, max_block=max_block),
         multi_consumer=False,
     )
 

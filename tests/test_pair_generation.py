@@ -74,3 +74,46 @@ def test_doc_pairs_equal_legacy_selfjoin_on_random_buckets(spark):
         for r in a.join(b, "bkey").filter(F.col("doc_a") < F.col("doc_b")).collect()
     )
     assert new == legacy and len(new) > 50
+
+
+def test_equality_edges_match_candidate_pair_route(spark, gaz):
+    """The pipeline's identity-hash edge generator must emit EXACTLY the edge
+    set of the route it replaced — match_edges(candidate_pairs(keyed)) — on a
+    real keyed frame (same blocks, same max_block cap semantics, equal canon
+    AND digit_sig required), modulo the per-pair dedup the old route paid
+    (connected_components canonicalizes either way)."""
+    from address_parser_spark.operators.pairs import (
+        candidate_pairs,
+        equality_edges,
+        match_edges,
+        with_blocking_keys,
+    )
+    from address_parser_spark.plans.pipeline import run_pipeline  # noqa: F401
+    from address_parser_spark.gazetteer.nodes import (
+        alias_registries, build_nodes, build_repair_state, ngram_index_df, nodes_to_spark,
+    )
+    from address_parser_spark.operators.parse import resolve_mentions
+    from address_parser_spark.sources.pages import synth_pages_spark
+
+    nodes = build_nodes(gaz)
+    nodes_df = nodes_to_spark(spark, nodes)
+    pages = synth_pages_spark(spark, gaz, 80, partitions=4)
+    resolved = resolve_mentions(
+        pages, nodes_df, ngram_index_df(nodes_df), alias_registries(gaz),
+        nodes=nodes, repair_state=build_repair_state(gaz, nodes),
+    )
+    keyed = with_blocking_keys(resolved).localCheckpoint(eager=True)
+
+    sizes = {}
+    for cap in (64, 3):  # default cap AND a tight cap that actually drops blocks
+        old = {
+            tuple(sorted((r["src"], r["dst"])))
+            for r in match_edges(candidate_pairs(keyed, max_block=cap)).collect()
+        }
+        new = {
+            tuple(sorted((r["src"], r["dst"])))
+            for r in equality_edges(keyed, max_block=cap).collect()
+        }
+        assert new == old, (cap, new ^ old)
+        sizes[cap] = len(new)
+    assert sizes[64] > 0  # non-vacuous: the corpus must actually produce edges
