@@ -157,6 +157,15 @@ def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
         confs["spark.sql.shuffle.partitions"] = str(max(2 * cores, 32))
     else:
         confs["spark.sql.shuffle.partitions"] = "32"
+    # LOCAL masters only: put shuffle/spill files on the RAM-backed tmpfs.
+    # Thread dumps of cold runs showed 30+ executor threads parked in
+    # FileOutputStream.open0 creating shuffle files on the (virtualized)
+    # ext4 root — file CREATION latency, not bandwidth, serialized small
+    # shuffle-heavy chains. A cluster deployment never enters this branch:
+    # its spark.local.dir comes from the site config / spark-submit, and
+    # non-local masters are left untouched.
+    if cores and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        confs.setdefault("spark.local.dir", "/dev/shm/spark-local")
     for key, value in _merge_confs(confs, extra_confs).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
