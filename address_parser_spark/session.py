@@ -124,12 +124,34 @@ def _warm_python_workers(spark: SparkSession) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+def _warm_parquet_io(spark: SparkSession) -> None:
+    """Load the parquet datasource/Hadoop-filesystem/codec machinery once at
+    session creation: the first parquet read of a session pays datasource
+    resolution, LocalFileSystem init, footer-reader and column-reader class
+    loading (measured ~1 s of the first real scan at local[32]). A two-row
+    write+read in a temp dir touches the same classes; the data content is
+    irrelevant and deleted immediately."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="spark_warm_")
+    try:
+        p = f"{d}/warm.parquet"
+        spark.range(2).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).groupBy().count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _warm_runtime(spark: SparkSession) -> None:
     key = spark.sparkContext.applicationId
     if key in _WARMED:
         return
     _warm_icu(spark)
     _warm_python_workers(spark)
+    _warm_parquet_io(spark)
     _WARMED.add(key)
 
 
