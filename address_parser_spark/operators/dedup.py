@@ -288,10 +288,14 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
         )
     sig = _minhash_sig_structs(docs, text_col, 3, fast_hash)
     n_bands = len(MINHASH_PARAMS) // rows_per_band
-    # Per band: md5("<band>#<sorted 'h_idx:minhash' members joined by ','>")
-    # — matches the DuckDB oracle (updated in step with this formulation;
-    # the pre-rewrite shuffle-built key had no 'h_idx:' prefix and no sort,
-    # so band keys persisted by older runs do NOT compare equal).
+    # Per band: xxhash64("<band>#<sorted 'h_idx:minhash' members joined by
+    # ','>"). The key is INTERNAL — the query's output is (doc_a, doc_b,
+    # shared_bands) and the DuckDB oracle groups by its own raw member
+    # string — so any injective-enough key over the same member string
+    # yields identical buckets. An 8-byte long shuffles 4× narrower than
+    # the previous 32-char md5 hex and hashes cheaper; 64-bit collision
+    # posture is the same as ``mid``/``fast_hash`` (birthday bound ~1e-8 at
+    # a billion distinct buckets).
     band_keys = []
     for j in range(n_bands):
         members = F.array(*[
@@ -303,7 +307,7 @@ def minhash_band_pairs(docs: DataFrame, text_col: str = "text", rows_per_band: i
             for i in range(j * rows_per_band, (j + 1) * rows_per_band)
         ])
         band_keys.append(
-            F.md5(F.concat_ws("#", F.lit(str(j)), F.array_join(F.array_sort(members), ",")))
+            F.xxhash64(F.concat_ws("#", F.lit(str(j)), F.array_join(F.array_sort(members), ",")))
         )
     bands = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("bkey"))
     grouped = _grouped_docs_bounded(bands, "bkey", max_block).filter(F.col("df") >= 2)
@@ -395,16 +399,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     # exists for are exactly the ones that would otherwise accumulate
     # million-element arrays before being discarded.
     #
-    # The grouped doc lists feed TWO consumers (per-doc sizes, pair
-    # intersections). An aggregation output is not a reusable stage, so
-    # without a staging exchange each consumer re-runs the window sort +
-    # df-filter + collect_list over the FULL instance relation (measured at
-    # sf0.1: two Window/ObjectHashAggregate passes over 260k instances in
-    # one plan). Re-exchanging the compact (shh, df, docs) lists — ≤cap
-    # elements per row, orders of magnitude smaller than the instance
-    # relation at web scale — turns the second pass into a ReusedExchange
-    # read.
-    grouped = _grouped_docs_bounded(raw_sh, "shh", max_df).repartition(F.col("shh"))
+    # NOTE (measured, round 6): the grouped doc lists feed TWO consumers
+    # (per-doc sizes, pair intersections), and each consumer re-runs the
+    # window sort + df-filter + collect_list pipeline above the ONE reused
+    # instance exchange. A staging repartition(shh) after the aggregation is
+    # elided by the planner (same-key, same partitioning), so the extra pass
+    # cannot be removed that way; timing the duplicated pass at sf0.1 showed
+    # it within run-to-run noise (the shuffle — the scale-limiting term — is
+    # already shared via ReusedExchange, and the duplicated work is CPU over
+    # post-filter compact lists).
+    grouped = _grouped_docs_bounded(raw_sh, "shh", max_df)
     # per-doc surviving-shingle counts (compact post-shuffle longs, the
     # exchange below is reused for the pair branch)
     sizes = (
