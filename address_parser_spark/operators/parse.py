@@ -188,25 +188,38 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
     if inv is not None:
         mention_attrs = _validate_det_cols(mention_attrs, inv)
 
-    # AGGREGATE top-K, not windows. The previous formulation ran three
-    # ranked-window passes (row_number cap, per-mid min for the early break,
-    # prioritized re-rank) over the pre-cap candidate relation — the biggest
-    # intermediate in the whole pipeline (~500 candidates per mention), each
-    # pass a full sort of it, plus a corpus×catalog join with the mention
-    # attrs BEFORE any cap. Collapsing the per-mid candidate set into ONE
-    # sorted array turns cap + Dice gate + early break + prioritization +
-    # 120-slice into in-array expressions: one exchange of the compact pair
-    # relation, zero window sorts, and the mention-attrs join happens at one
-    # row per mention. Per-mid aggregation state is bounded by the CATALOG
-    # (a mention's candidates are nodes sharing ≥1 gram), not the corpus.
-    #
-    # Struct natural order = (inter_rank desc, node_id asc): the reference's
-    # duplicate-counting rank with deterministic tiebreak (:114, :2680).
-    agg = cands.groupBy("mid").agg(
+    # AGGREGATE top-K after a WindowGroupLimit-bounded cap. The previous
+    # formulation ran three ranked-window passes (row_number cap, per-mid
+    # min for the early break, prioritized re-rank) over the pre-cap
+    # candidate relation — the biggest intermediate in the whole pipeline
+    # (~500 candidates per mention), each pass a full sort of it, plus a
+    # corpus×catalog join with the mention attrs BEFORE any cap. Now ONE
+    # window pass performs only the reference's top-400 cap — Spark plans
+    # the ``row_number() <= K`` filter as WindowGroupLimit, which keeps a
+    # bounded per-group heap on the MAP side of the exchange (so a generic
+    # mention matching half a huge catalog neither ships nor buffers more
+    # than 400 candidates — collect_list state is ≤400 structs per mention
+    # by construction, never catalog-sized), and Dice gate + early break +
+    # prioritization + 120-slice become in-array expressions over the
+    # collected array: zero further window passes, and the mention-attrs
+    # join happens at one row per mention.
+    by_hits = Window.partitionBy("mid").orderBy(F.desc("inter_rank"), F.asc("node_id"))
+    capped = (
+        cands
+        # Pre-gate cap: the reference keeps only the 400 most-hit nodes
+        # from the inverted-index counter BEFORE the Dice gate
+        # (inexus_parser.py:114, 2680). Deterministic tiebreak on node_id.
+        .withColumn("rk_pre", F.row_number().over(by_hits))
+        .filter(F.col("rk_pre") <= TOPK_CANDIDATES)
+    )
+    # collect_list rides the window's exchange (same mid clustering); the
+    # array is assembled pre-sorted by rank via array_sort on the leading
+    # rk_pre field.
+    agg = capped.groupBy("mid").agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    (-F.col("inter_rank")).alias("nr"),
+                    F.col("rk_pre").alias("rk_pre"),
                     F.col("node_id").alias("node_id"),
                     F.col("inter").alias("inter"),
                     F.col("n_primary").alias("n_primary"),
@@ -220,14 +233,12 @@ def score_candidates(cands: DataFrame, mentions: DataFrame, nodes_df: DataFrame,
                                  "det_p", "det_d", "det_w"),
             "mid",
         )
-        # Pre-gate cap (reference keeps the 400 most-hit nodes BEFORE the
-        # Dice gate); rk_pre is the 1-based position in the sorted array.
         .withColumn(
             "_wd",
             F.transform(
-                F.slice(F.col("_cs"), 1, TOPK_CANDIDATES),
-                lambda c, i: F.struct(
-                    (i + 1).alias("rk_pre"),
+                F.col("_cs"),
+                lambda c: F.struct(
+                    c["rk_pre"].alias("rk_pre"),
                     c["node_id"].alias("node_id"),
                     c["inter"].alias("inter"),
                     dice_col(c["inter"], F.col("n_in"), c["n_primary"]).alias("dice"),
@@ -507,32 +518,19 @@ def resolve_mentions(
     if timings is not None:
         timings["extract_ckpt"] = round(_time.monotonic() - _t, 2)
 
-    # Distinct mentions in ONE exchange, already std-clustered for the
-    # kernel: ``dropDuplicates(["mention"])`` followed by the kernel's
-    # ``repartition(std)`` paid two shuffles of the mention relation.
-    # Repartitioning by std FIRST and deduplicating with a
-    # ``groupBy(std, mention)`` aggregate rides the same exchange —
-    # HashPartitioning(std) satisfies the aggregate's clustering requirement
-    # because equal mentions always share their (derived) std. The carried
-    # columns are pure functions of the mention text (one deterministic
-    # extract UDF), so ``first()`` per group is value-identical to
-    # dropDuplicates' arbitrary-row pick.
+    # dropDuplicates, not a pre-repartitioned groupBy: a round-6 variant
+    # fused the dedup onto the kernel's std exchange (repartition(std) →
+    # groupBy(std, mention)), which saved one distinct-mention-sized
+    # exchange but shipped EVERY occurrence through the std exchange at
+    # full width — dropDuplicates' map-side partial aggregate ships at most
+    # one copy per input partition, which is the winning shape on exactly
+    # the boilerplate-heavy corpora this dedup exists for (the same mention
+    # repeated thousands of times across pages). Measured equal at the
+    # 1200-page bench; the partial-agg shape is the scale-correct one.
     spark = pages.sparkSession
     uniq = (
         mentions
-        # EXPLICIT partition count: the downstream kernel stage is
-        # python-CPU-bound but tiny in bytes — AQE's byte-driven coalescing
-        # would serialize it (an explicit repartition count is never
-        # AQE-coalesced). Equal stds co-locate for the kernel's score memo.
-        .repartition(2 * spark.sparkContext.defaultParallelism, F.col("std"))
-        .groupBy("std", "mention")
-        .agg(
-            F.first("std_basic").alias("std_basic"),
-            F.first("det").alias("det"),
-            F.first("grams").alias("grams"),
-            F.first("n_in").alias("n_in"),
-            F.first("partial_flag").alias("partial_flag"),
-        )
+        .dropDuplicates(["mention"])
         .select(
             F.xxhash64("mention").alias("mid"),
             "mention", "std", "std_basic", "det", "grams", "n_in", "partial_flag",
@@ -555,9 +553,10 @@ def resolve_mentions(
             # kernel memoizes (std, cand_std) per worker process, so
             # co-locating equal stds makes the memo hit rate match a global
             # memo (measured 1.75×→~6× effective speedup at 8 workers).
-            # uniq is ALREADY std-partitioned at an explicit count (the
-            # dedup aggregate above rides that exchange), so the kernel
-            # plans directly on it — no second shuffle here.
+            # EXPLICIT partition count: this stage is python-CPU-bound but
+            # tiny in bytes — AQE's byte-driven coalescing would serialize it
+            # (an explicit repartition count is never AQE-coalesced).
+            .repartition(2 * spark.sparkContext.defaultParallelism, F.col("std"))
             # explode(array(udf)) plants a GENERATOR between the kernel and
             # the downstream filter/projection: without it Catalyst's python-
             # UDF extraction materializes TWO chained ArrowEvalPython nodes

@@ -146,6 +146,14 @@ def _warm_parquet_io(spark: SparkSession) -> None:
 
 
 def _warm_runtime(spark: SparkSession) -> None:
+    """Local masters only: the parquet warm-up writes/reads a DRIVER-LOCAL
+    temp dir, which on a multi-node master would leave task files on
+    executor filesystems and crash the read-back; and on a long-lived
+    cluster the one-time inits amortize over hours of work anyway — the
+    warm-ups exist because a local benchmark of 1-second queries charges
+    them to the first unlucky query."""
+    if not spark.sparkContext.master.startswith("local"):
+        return
     key = spark.sparkContext.applicationId
     if key in _WARMED:
         return
@@ -185,9 +193,19 @@ def get_spark(app_name: str = "address_parser_spark", master: str | None = None,
     # ext4 root — file CREATION latency, not bandwidth, serialized small
     # shuffle-heavy chains. A cluster deployment never enters this branch:
     # its spark.local.dir comes from the site config / spark-submit, and
-    # non-local masters are left untouched.
+    # non-local masters are left untouched. Guarded on FREE SPACE: shuffle
+    # + spill land here exactly when memory is tight, and a tmpfs that
+    # fills mid-run fails the job where the disk default would have crawled
+    # through — so the tmpfs is only used when it has ample headroom, and a
+    # caller conf always wins (setdefault).
     if cores and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        confs.setdefault("spark.local.dir", "/dev/shm/spark-local")
+        try:
+            st = os.statvfs("/dev/shm")
+            shm_free_gb = st.f_bavail * st.f_frsize / (1 << 30)
+        except OSError:
+            shm_free_gb = 0.0
+        if shm_free_gb >= 16:
+            confs.setdefault("spark.local.dir", "/dev/shm/spark-local")
     for key, value in _merge_confs(confs, extra_confs).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
